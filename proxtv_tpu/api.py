@@ -1,0 +1,207 @@
+"""User-facing API with the reference's function names, signatures and defaults.
+
+Mirrors ``prox_tv/__init__.py`` of the reference, with the warts fixed:
+info is returned on request (``return_info=True``), ``max_iters`` is honored in
+``tvp_1d`` (the reference accepts but drops it, prox_tv/__init__.py:351), and
+``tvgen`` uses the correct dispatch (the reference Python layer's operator-
+precedence bug sends 2D problems to the wrong solver, prox_tv/__init__.py:585;
+the MATLAB layer ``matlab/solveTVgen.cpp:90-97`` has the intended behavior,
+which we follow).
+
+Inputs are numpy-like arrays; outputs are numpy arrays (device-synchronized).
+For jittable, batched, device-resident use, call the functional layer in
+``proxtv_tpu.ops`` / ``proxtv_tpu.models`` directly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops import tv1d_l1
+from .utils.config import TV1Config
+
+
+def _as2d(x, dtype=None):
+    a = jnp.asarray(x, dtype=dtype)
+    if a.dtype in (jnp.int32, jnp.int64, jnp.int16, jnp.int8):
+        a = a.astype(jnp.float64 if jnp.float64 in (jnp.zeros(0).dtype, jnp.float64) else jnp.float32)
+    if a.dtype not in (jnp.float32, jnp.float64):
+        a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    return a.reshape(1, -1)
+
+
+def _ret(x2d, info, return_info):
+    x = np.asarray(x2d[0])
+    if return_info:
+        return x, info
+    return x
+
+
+# ---------------------------------------------------------------------------
+# 1D
+# ---------------------------------------------------------------------------
+
+_TV1_METHODS = {"classictautstring", "linearizedtautstring", "hybridtautstring",
+                "pn", "condat", "dp", "condattautstring", "kolmogorov"}
+
+
+def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
+           return_info=False):
+    """1D TV-L1 prox: min_y 0.5||x-y||^2 + w * sum |y_{i+1} - y_i|.
+
+    Reference: prox_tv/__init__.py:124-216.  Methods: classictautstring,
+    linearizedtautstring, hybridtautstring (default), pn, condat, dp,
+    condattautstring, kolmogorov.
+    """
+    assert method in _TV1_METHODS, f"unknown method {method}"
+    assert w >= 0
+    y = _as2d(x)
+    if method == "pn":
+        cfg = TV1Config(sigma=float(sigma))
+        out, info = tv1d_l1.tv1_pn(y, float(w), cfg=cfg)
+        return _ret(out, info, return_info)
+    out = tv1d_l1.tv1_batched(y, float(w), method=method,
+                              maxbacktracks=maxbacktracks)
+    return _ret(out, None, return_info)
+
+
+def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False):
+    """Weighted 1D TV-L1 prox: min_y 0.5||x-y||^2 + sum_i w_i |y_{i+1} - y_i|.
+
+    Reference: prox_tv/__init__.py:218-254.  Methods: tautstring (default), pn;
+    we additionally expose 'dp' (message passing).
+    """
+    y = _as2d(x)
+    wv = jnp.asarray(np.asarray(w, dtype=np.asarray(y).dtype)).reshape(1, -1)
+    assert wv.shape[-1] == y.shape[-1] - 1
+    assert bool(jnp.all(wv >= 0))
+    if method == "tautstring":
+        out = tv1d_l1.tv1_tautstring(y, wv)
+        return _ret(out, None, return_info)
+    if method == "dp":
+        out = tv1d_l1.tv1_dp(y, wv)
+        return _ret(out, None, return_info)
+    if method == "pn":
+        cfg = TV1Config(sigma=float(sigma))
+        out, info = tv1d_l1.tv1_pn(y, wv, cfg=cfg)
+        return _ret(out, info, return_info)
+    raise ValueError(f"unknown method {method}")
+
+
+def tv2_1d(x, w, method="mspg", return_info=False):
+    """1D TV-L2 (grouped-norm) prox: min_y 0.5||x-y||^2 + w ||Dy||_2.
+
+    Reference: prox_tv/__init__.py:257-309.  Methods: ms, pg, mspg (default).
+    """
+    assert w >= 0
+    from .ops import tv1d_l2
+    y = _as2d(x)
+    out, info = tv1d_l2.tv2_batched(y, float(w), method=method)
+    return _ret(out, info, return_info)
+
+
+def tvp_1d(x, w, p, method="gpfw", max_iters=0, return_info=False):
+    """1D TV-Lp prox: min_y 0.5||x-y||^2 + w ||Dy||_p.
+
+    Reference: prox_tv/__init__.py:311-352.  Methods: gp, fw, gpfw (default),
+    plus ogp and fista (implemented in the reference C layer but not exposed by
+    its Python layer).  Unlike the reference, ``max_iters`` is honored.
+    """
+    assert w >= 0 and p >= 1
+    from .ops import tv1d_lp
+    y = _as2d(x)
+    out, info = tv1d_lp.tvp_batched(y, float(w), float(p), method=method,
+                                    max_iters=int(max_iters))
+    return _ret(out, info, return_info)
+
+
+# ---------------------------------------------------------------------------
+# 2D / ND (filled by models layer)
+# ---------------------------------------------------------------------------
+
+
+def tv1_2d(x, w, n_threads=1, max_iters=0, method="dr", return_info=False):
+    """2D anisotropic TV-L1 prox (reference prox_tv/__init__.py:355-443).
+
+    Methods: dr (default), pd, yang, condat, chambolle-pock,
+    chambolle-pock-acc, kolmogorov.  ``n_threads`` is accepted for API
+    compatibility; parallelism on TPU comes from batched fibers and the device
+    mesh instead of OpenMP threads.
+    """
+    from .models import tv2d
+
+    y = jnp.asarray(np.asarray(x, dtype=float))[None, ...]
+    out, info = tv2d.tv1_2d_batched(y, float(w), method=method,
+                                    max_iters=int(max_iters))
+    return _ret(out, info, return_info)
+
+
+def tv1w_2d(x, w_col, w_row, max_iters=0, n_threads=1, return_info=False):
+    """Weighted 2D TV-L1 prox via Douglas-Rachford (reference :445-481)."""
+    from .models import tv2d
+
+    X = np.asarray(x, dtype=float)
+    M, N = X.shape
+    w_col = np.asarray(w_col, dtype=float)
+    w_row = np.asarray(w_row, dtype=float)
+    assert w_col.shape == (M - 1, N)
+    assert w_row.shape == (M, N - 1)
+    assert (w_col >= 0).all() and (w_row >= 0).all()
+    out, info = tv2d.tv1w_2d_batched(jnp.asarray(X)[None], jnp.asarray(w_col)[None],
+                                     jnp.asarray(w_row)[None], max_iters=int(max_iters))
+    return _ret(out, info, return_info)
+
+
+def tvp_2d(x, w_col, w_row, p_col, p_row, n_threads=1, max_iters=0,
+           return_info=False):
+    """2D general-norm TV prox via Douglas-Rachford (reference :484-530)."""
+    from .models import tv2d
+
+    assert w_col >= 0 and w_row >= 0 and p_col >= 1 and p_row >= 1
+    y = jnp.asarray(np.asarray(x, dtype=float))[None, ...]
+    out, info = tv2d.tvp_2d_batched(y, float(w_col), float(w_row), float(p_col),
+                                    float(p_row), max_iters=int(max_iters))
+    return _ret(out, info, return_info)
+
+
+def tvgen(x, ws, ds, ps, n_threads=1, max_iters=0, return_info=False):
+    """Generalized multidimensional TV prox (reference :533-600).
+
+    Dispatch follows the intended (MATLAB) rule: a 2D signal penalized on both
+    dims goes to Douglas-Rachford; two arbitrary terms go to Proximal Dykstra;
+    more terms go to Parallel Proximal Dykstra.
+    """
+    from .models import tvnd
+
+    X = jnp.asarray(np.asarray(x, dtype=float))
+    ws = [float(v) for v in ws]
+    ds = [int(v) for v in ds]
+    ps = [float(v) for v in ps]
+    assert len(ws) == len(ds) == len(ps)
+    out, info = tvnd.tvgen_dispatch(X, ws, ds, ps, max_iters=int(max_iters))
+    if return_info:
+        return np.asarray(out), info
+    return np.asarray(out)
+
+
+def tvgen_nd(x, ws, ds, ps, max_iters=0, method="pd", return_info=False):
+    """ND combiner with explicit method choice: 'pd' (Parallel Proximal Dykstra)
+    or 'pdr' (Parallel Douglas-Rachford, reference src/TVNDopt.cpp:280)."""
+    from .models import tvnd
+
+    X = jnp.asarray(np.asarray(x, dtype=float))
+    out, info = tvnd.tv_nd_batched(X[None], [float(v) for v in ws],
+                                   [int(v) for v in ds], [float(v) for v in ps],
+                                   max_iters=int(max_iters), method=method)
+    if return_info:
+        return np.asarray(out[0]), info
+    return np.asarray(out[0])
+
+
+def tv_value(x, ws, ds, ps):
+    """Value of the generalized TV penalty (reference TVval, src/TVNDopt.cpp:524)."""
+    from .models import tvnd
+
+    X = jnp.asarray(np.asarray(x, dtype=float))
+    return float(tvnd.tv_value(X, [float(v) for v in ws], [int(v) for v in ds],
+                               [float(v) for v in ps]))

@@ -1,0 +1,646 @@
+"""Batched 1D TV-L1 proximity solvers (TPU-native).
+
+Solves, for every signal in a batch,
+
+    min_x 0.5 ||x - y||^2 + sum_i w_i |x_{i+1} - x_i|
+
+with scalar or per-edge weights.  Three independent engines are provided, each a
+TPU-first redesign of a reference algorithm family:
+
+*   :func:`tv1_pn` — projected Newton on the dual box-constrained QP
+    (reference ``src/TVL1opt.cpp:37`` ``PN_TV1`` and ``src/TVL1Wopt.cpp:37``
+    ``PN_TV1_Weighted``).  Instead of gathering the inactive set into a reduced
+    LAPACK tridiagonal system, the full-size system is solved with *masked*
+    parallel cyclic reduction: active rows become identity rows, decoupled
+    off-diagonals are zeroed.  Every step is a full-width vector op — no
+    gather/scatter, fully batched over signals AND parallel in n (O(log n) depth).
+
+*   :func:`tv1_tautstring` — the linearized taut-string scan (reference
+    ``src/TVL1opt.cpp:359`` ``linearizedTautString_TV1`` /
+    ``src/TVL1Wopt.cpp:364`` ``tautString_TV1_Weighted``; equivalent to Condat's
+    direct method).  Reformulated as a lock-step ``while_loop`` state machine —
+    one event (point advance or segment break) per step across all lanes — with
+    segment records scattered to an (end,value) buffer and the solution
+    reconstructed by a reverse cumulative-min fill, avoiding the reference's
+    variable-length in-loop writes.
+
+*   :func:`tv1_dp` — the Kolmogorov/Pock/Rolinek message-passing dynamic program
+    (reference ``src/TVL1opt_kolmogorov.cpp:38``; Johnson's DP
+    ``src/johnsonRyanTV.cpp:9`` is the same clipped-message recursion).  O(n)
+    worst-case.  The breakpoint deque lives in a per-lane arena; each lock-step
+    iteration performs one deque operation; the backward clamping pass is a
+    vectorized reverse scan.
+
+All engines accept signals of shape (B, n) and weights either scalar, (B,), or
+per-edge (B, n-1).  Exactness contract: engines agree with each other and with a
+high-precision oracle to solver tolerance (the reference's cross-method test
+strategy, ``prox_tv/prox_tv_test.py:37-62``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import diffs
+from ..utils.config import DEFAULT_TV1, EPSILON, TV1Config
+from ..utils.info import RC_ITERS, RC_OK, RC_STUCK, SolverInfo, make_info
+from . import tridiag
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _edge_weights(lam, B, n, dtype):
+    """Broadcast lam (scalar, (B,), or (B, n-1)) to a (B, n-1) edge-weight array."""
+    lam = jnp.asarray(lam, dtype)
+    if lam.ndim == 0:
+        return jnp.broadcast_to(lam, (B, n - 1))
+    if lam.ndim == 1:
+        if lam.shape[0] == B:
+            return jnp.broadcast_to(lam[:, None], (B, n - 1))
+        if lam.shape[0] == n - 1:
+            return jnp.broadcast_to(lam[None, :], (B, n - 1))
+        raise ValueError(f"Cannot interpret weight shape {lam.shape} for batch {B}, n {n}")
+    return jnp.broadcast_to(lam, (B, n - 1))
+
+
+def _gap_tv1w(w, g, lam):
+    """Duality gap, reference GRAD2GAP (src/TVL1opt.cpp:46-49):
+    gap = sum_i |g_i| lam_i + w_i g_i."""
+    return jnp.abs(jnp.sum(jnp.abs(g) * lam + w * g, axis=-1))
+
+
+def _apply_degenerate_guards(x, y, lamv):
+    """Handle the two degenerate penalty regimes exactly, protecting low-precision
+    dtypes from catastrophic cancellation in ``y +/- lam``:
+
+    * all-zero weights -> prox is the identity;
+    * weights so large the solution is provably constant -> prox is the mean.
+      (Sufficient condition: min_i lam_i >= n^2 * max|dy|, which dominates the
+      exact threshold ||(DD')^{-1} Dy||_inf used by the reference PN solver,
+      src/TVL1opt.cpp:120-133.)
+    """
+    n = y.shape[-1]
+    dy_max = jnp.max(jnp.abs(diffs.forward_diff(y)), axis=-1)
+    all_zero = jnp.all(lamv <= 0, axis=-1)
+    huge = jnp.min(lamv, axis=-1) >= (float(n) * float(n)) * dy_max
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    x = jnp.where(huge[:, None], mean, x)
+    return jnp.where(all_zero[:, None], y, x)
+
+
+# ---------------------------------------------------------------------------
+# Engine 1: projected Newton on the dual (batched, masked cyclic reduction)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tridiag_method"))
+def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr"):
+    """Batched projected-Newton TV-L1 prox (weighted-capable).
+
+    Args:
+        y: (B, n) batch of signals.
+        lam: scalar, (B,), or (B, n-1) nonnegative penalty weights.
+        cfg: solver tolerances (defaults mirror the reference).
+
+    Returns:
+        (x, info): (B, n) solution and per-signal :class:`SolverInfo`.
+    """
+    y = jnp.asarray(y)
+    B, n = y.shape
+    dtype = y.dtype
+    eps = jnp.asarray(EPSILON, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    if n == 1:
+        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                            jnp.zeros((B,), jnp.int32))
+
+    lamv = _edge_weights(lam, B, n, dtype)
+
+    dy = diffs.forward_diff(y)  # (B, n-1)
+    # Unconstrained dual solution: DD' w = Dy (reference src/TVL1opt.cpp:110-117).
+    w0 = tridiag.spd_second_difference_solve(dy, method=tridiag_method)
+    # If |w0| <= lam everywhere the unconstrained solution is feasible: x = mean(y)
+    # follows automatically since D(y + D'w0) = 0 (no special case needed).
+    w = jnp.clip(w0, -lamv, lamv)
+
+    x = diffs.dual2primal(w, y)
+    g = diffs.primal2grad(x)
+    fval = 0.5 * jnp.sum(x * x, axis=-1)
+
+    sigma = jnp.asarray(cfg.sigma, dtype)
+
+    def inactive_mask(w, g):
+        # Reference CHECK_INACTIVE (src/TVL1opt.cpp:62-65).
+        return ((w > -lamv) & (w < lamv)) | ((w == -lamv) & (g < -eps)) | (
+            (w == lamv) & (g > eps))
+
+    def armijo(w, g, d, mI, fval):
+        """Bounded Armijo + quadratic-interpolation stepsize search
+        (reference src/TVL1opt.cpp:203-276), batched with per-lane masks."""
+        gRd = jnp.sum(jnp.where(mI, g * d, 0.0), axis=-1)
+
+        # grad0: directional derivative used for interpolation.  Vectorized over all
+        # inactive entries not pinned at +lam (the reference skips w == +lam entries,
+        # src/TVL1opt.cpp:245-255).
+        hw = 2.0 * w - jnp.pad(w[:, :-1], ((0, 0), (1, 0))) - jnp.pad(w[:, 1:], ((0, 0), (0, 1)))
+        dy_edges = diffs.forward_diff(y)
+        use = mI & ~(w == lamv)
+        # grad0 depends on d, which is fixed during the search: compute lazily below.
+
+        def maxstep_fn(d):
+            t_neg = jnp.where(mI & (d < 0), (w - lamv) / d, -big)
+            t_pos = jnp.where(mI & (d > 0), (w + lamv) / d, -big)
+            return jnp.maximum(jnp.max(t_neg, axis=-1), jnp.max(t_pos, axis=-1))
+
+        grad0 = jnp.sum(jnp.where(use, -d * (hw - dy_edges), 0.0), axis=-1)
+        maxstep0 = maxstep_fn(d)
+
+        def body(state):
+            k, delta, maxstep, found, stop_flag, best_aux, best_x, best_f, recomp = state
+            aux = jnp.where(mI, jnp.clip(w - delta[:, None] * d, -lamv, lamv), w)
+            x_new = diffs.dual2primal(aux, y)
+            f_new = 0.5 * jnp.sum(x_new * x_new, axis=-1)
+            improve = fval - f_new
+            # Zero improvement: direction not useful -> accept and stop searching
+            # (the reference breaks out of the search, src/TVL1opt.cpp:223-224).
+            no_improve = improve <= eps
+            rhs = sigma * delta * gRd
+            ok = improve >= rhs
+
+            newly_done = (~found) & (~stop_flag) & (ok | no_improve)
+            best_aux = jnp.where(newly_done[:, None], aux, best_aux)
+            best_x = jnp.where(newly_done[:, None], x_new, best_x)
+            best_f = jnp.where(newly_done, f_new, best_f)
+            found = found | newly_done
+
+            # Interpolated next stepsize for lanes still searching.
+            searching = ~found & ~stop_flag
+            tmp = grad0 * delta
+            denom = 2.0 * (-improve - tmp)
+            delta_interp = jnp.where(denom != 0, -(tmp * delta) / denom, delta * 0.5)
+            ms = jnp.where(recomp, maxstep, maxstep0)
+            delta_new = jnp.minimum(delta_interp, ms)
+            delta_new = jnp.where(delta_new - delta >= -eps, delta * 0.5, delta_new)
+            # Negative/zero step: accept current candidate and stop (reference
+            # sets found=true with the *projected current* point).
+            dead = searching & (delta_new < eps)
+            best_aux = jnp.where(dead[:, None], aux, best_aux)
+            best_x = jnp.where(dead[:, None], x_new, best_x)
+            best_f = jnp.where(dead, f_new, best_f)
+            found = found | dead
+
+            delta = jnp.where(searching, delta_new, delta)
+            maxstep = jnp.where(searching, delta_new, maxstep)
+            return (k + 1, delta, maxstep, found, stop_flag, best_aux, best_x, best_f,
+                    jnp.ones_like(recomp))
+
+        def cond(state):
+            k, _, _, found, stop_flag, *_ = state
+            return (k < cfg.max_armijo) & jnp.any(~(found | stop_flag))
+
+        init = (jnp.int32(0), jnp.ones((B,), dtype), maxstep0,
+                jnp.zeros((B,), bool), jnp.zeros((B,), bool),
+                w, x, fval, jnp.zeros((B,), bool))
+        _, _, _, _, _, aux, x_new, f_new, _ = jax.lax.while_loop(cond, body, init)
+        return aux, x_new, f_new
+
+    def outer_body(state):
+        w, g, x, fval, stop, stop_prev, iters, running = state
+        mI = inactive_mask(w, g)
+        any_inactive = jnp.any(mI, axis=-1)
+
+        # Masked Newton direction: solve the full tridiagonal system with active
+        # rows as identity / decoupled (equivalent to the reference reduced system).
+        d = tridiag.spd_second_difference_solve(
+            jnp.where(mI, g, 0.0), mask=mI, method=tridiag_method)
+        d = jnp.where(mI, d, 0.0)
+
+        aux, x_new, f_new = armijo(w, g, d, mI, fval)
+
+        g_new = diffs.primal2grad(x_new)
+        stop_new = _gap_tv1w(aux, g_new, lamv)
+
+        act = running & any_inactive
+        w = jnp.where(act[:, None], aux, w)
+        x = jnp.where(act[:, None], x_new, x)
+        g = jnp.where(act[:, None], g_new, g)
+        fval = jnp.where(act, f_new, fval)
+        stop_prev_out = jnp.where(act, stop, stop_prev)
+        stop = jnp.where(act, stop_new, stop)
+        iters = iters + act.astype(jnp.int32)
+        # Lanes with no inactive constraints are finished (reference returns).
+        running = running & any_inactive & (stop > cfg.stop) & (
+            jnp.abs(stop - stop_prev_out) > eps)
+        return w, g, x, fval, stop, stop_prev_out, iters, running
+
+    def outer_cond(state):
+        *_, iters, running = state
+        return jnp.any(running) & (jnp.max(iters) < cfg.max_iters)
+
+    stop0 = _gap_tv1w(w, g, lamv)
+    running0 = stop0 > cfg.stop
+    init = (w, g, x, fval, stop0, jnp.full((B,), -jnp.inf, dtype),
+            jnp.zeros((B,), jnp.int32), running0)
+    w, g, x, fval, stop, stop_prev, iters, running = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+
+    rc = jnp.where(iters >= cfg.max_iters, RC_ITERS,
+                   jnp.where((stop > cfg.stop) & (jnp.abs(stop - stop_prev) <= eps),
+                             RC_STUCK, RC_OK)).astype(jnp.int32)
+    return x, make_info(iters, jnp.abs(stop), rc)
+
+
+# ---------------------------------------------------------------------------
+# Engine 2: linearized taut-string scan (lock-step state machine)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def tv1_tautstring(y, lam):
+    """Batched linearized taut-string TV-L1 prox (weighted-capable, exact).
+
+    Lock-step reformulation of the reference scan
+    (``src/TVL1Wopt.cpp:364`` ``tautString_TV1_Weighted``; the unweighted
+    ``linearizedTautString_TV1`` is the constant-weight special case — the
+    reference's own uniform-weight tests assert this equivalence).  Each
+    ``while_loop`` iteration processes one event per lane: a point advance, a
+    segment break (with backtrack), or termination.  Completed segments are
+    recorded as (end-index, value) pairs; the solution is materialized afterwards
+    with a reverse cumulative-min fill.
+    """
+    y = jnp.asarray(y)
+    B, n = y.shape
+    dtype = y.dtype
+    eps = jnp.asarray(EPSILON, dtype)
+
+    if n == 1:
+        return y
+
+    lamv = _edge_weights(lam, B, n, dtype)
+    rows = jnp.arange(B)
+
+    def gy(idx):
+        return jnp.take_along_axis(y, jnp.clip(idx, 0, n - 1)[:, None], axis=1)[:, 0]
+
+    def glam(idx):
+        return jnp.take_along_axis(lamv, jnp.clip(idx, 0, n - 2)[:, None], axis=1)[:, 0]
+
+    def body(state):
+        (i, mn, mx, mnH, mxH, mnBreak, mxBreak, lastBreak,
+         seg_val, seg_end_mark) = state
+        done = i >= n
+        yi = gy(i)
+        lam_i = glam(i)          # lambda[i], valid for i < n-1
+        is_last = i == (n - 1)
+
+        mnH1 = mnH + mn - yi
+        ceil_viol = jnp.where(is_last, mnH1 > eps, lam_i < mnH1)
+        mxH1 = mxH + mx - yi
+        floor_viol = ~ceil_viol & jnp.where(is_last, mxH1 < -eps, -lam_i > mxH1)
+        brk = (ceil_viol | floor_viol) & ~done
+
+        # ----- break transition -----
+        b_end = jnp.where(ceil_viol, mnBreak, mxBreak)
+        b_val = jnp.where(ceil_viol, mn, mx)
+        i_new = b_end + 1
+        y_new = gy(i_new)
+        lam_nm1 = glam(i_new - 1)                      # lambda[i_new - 1]
+        new_is_last = i_new == (n - 1)
+        lam_n = jnp.where(is_last & new_is_last, 0.0, glam(i_new))
+        # General-case break sets the tube radius at the new point; the ending-case
+        # break zeroes it at n-1 (reference src/TVL1Wopt.cpp:420-423,510-513).
+        sgn = jnp.where(ceil_viol, 1.0, -1.0)          # +: pinned at floor; -: ceiling
+        mn_b = y_new + sgn * lam_nm1 - lam_n
+        mx_b = y_new + sgn * lam_nm1 + lam_n
+        mnH_b = jnp.where(is_last, -sgn * lam_nm1, -lam_n)
+        mxH_b = jnp.where(is_last, -sgn * lam_nm1, lam_n)
+        i_b = jnp.where(is_last, i_new, i_new + 1)
+
+        # ----- no-violation transition -----
+        step_gen = ~brk & ~done & ~is_last
+        denom = (i - lastBreak).astype(dtype)
+        touch_hi = mxH1 >= lam_i
+        mx_g = jnp.where(touch_hi, mx + (lam_i - mxH1) / denom, mx)
+        mxH_g = jnp.where(touch_hi, lam_i, mxH1)
+        mxBreak_g = jnp.where(touch_hi, i, mxBreak)
+        touch_lo = mnH1 <= -lam_i
+        mn_g = jnp.where(touch_lo, mn + (-lam_i - mnH1) / denom, mn)
+        mnH_g = jnp.where(touch_lo, -lam_i, mnH1)
+        mnBreak_g = jnp.where(touch_lo, i, mnBreak)
+
+        step_last = ~brk & ~done & is_last
+        mn_l = jnp.where(mnH1 <= 0, mn + (-mnH1) / denom, mn)
+
+        finish = step_last  # i becomes n next
+
+        # ----- merge -----
+        i_next = jnp.where(done, i, jnp.where(brk, i_b, i + 1))
+        mn_next = jnp.where(brk, mn_b, jnp.where(step_last, mn_l, jnp.where(step_gen, mn_g, mn)))
+        mx_next = jnp.where(brk, mx_b, jnp.where(step_gen, mx_g, mx))
+        mnH_next = jnp.where(brk, mnH_b, jnp.where(step_gen, mnH_g, mnH1))
+        mxH_next = jnp.where(brk, mxH_b, jnp.where(step_gen, mxH_g, jnp.where(step_last, mxH1, mxH)))
+        mnH_next = jnp.where(done, mnH, mnH_next)
+        mxH_next = jnp.where(done, mxH, mxH_next)
+        mn_next = jnp.where(done, mn, mn_next)
+        mx_next = jnp.where(done, mx, mx_next)
+        mnBreak_next = jnp.where(brk, i_new, jnp.where(step_gen, mnBreak_g, mnBreak))
+        mxBreak_next = jnp.where(brk, i_new, jnp.where(step_gen, mxBreak_g, mxBreak))
+        lastBreak_next = jnp.where(brk, b_end, lastBreak)
+
+        # ----- segment record (one scatter; garbage-bin column n for no-ops) -----
+        rec = brk | finish
+        rec_end = jnp.where(brk, b_end, n - 1)
+        rec_val = jnp.where(brk, b_val, mn_l)
+        col = jnp.where(rec, rec_end, n)
+        seg_val = seg_val.at[rows, col].set(rec_val)
+        seg_end_mark = seg_end_mark.at[rows, col].set(True)
+
+        return (i_next, mn_next, mx_next, mnH_next, mxH_next,
+                mnBreak_next, mxBreak_next, lastBreak_next, seg_val, seg_end_mark)
+
+    def cond(state):
+        i = state[0]
+        return jnp.any(i < n)
+
+    lam0 = lamv[:, 0]
+    init = (
+        jnp.zeros((B,), jnp.int32),
+        y[:, 0] - lam0,                 # mn
+        y[:, 0] + lam0,                 # mx
+        jnp.zeros((B,), dtype),         # mnHeight
+        jnp.zeros((B,), dtype),         # mxHeight
+        jnp.zeros((B,), jnp.int32),     # mnBreak
+        jnp.zeros((B,), jnp.int32),     # mxBreak
+        jnp.full((B,), -1, jnp.int32),  # lastBreak
+        jnp.zeros((B, n + 1), dtype),
+        jnp.zeros((B, n + 1), bool),
+    )
+    *_, seg_val, seg_mark = jax.lax.while_loop(cond, body, init)
+
+    # Reconstruct: x[j] = value of the nearest recorded segment end >= j.
+    idx = jnp.where(seg_mark[:, :n], jnp.arange(n)[None, :], n - 1)
+    nxt = jax.lax.associative_scan(jnp.minimum, idx, reverse=True, axis=1)
+    x = jnp.take_along_axis(seg_val[:, :n], nxt, axis=-1)
+    return _apply_degenerate_guards(x, y, lamv)
+
+
+# ---------------------------------------------------------------------------
+# Engine 3: Kolmogorov/Johnson message-passing DP (lock-step, O(n) worst case)
+# ---------------------------------------------------------------------------
+
+_PH_INIT = 0
+_PH_LOWER = 1
+_PH_LOWER_EXIT = 2
+_PH_UPPER = 3
+_PH_UPPER_EXIT = 4
+_PH_DONE = 5
+
+
+@jax.jit
+def tv1_dp(y, lam):
+    """Batched message-passing DP TV-L1 prox (weighted-capable, exact, O(n)).
+
+    Lock-step port of the clipped-message dynamic program of Kolmogorov, Pock &
+    Rolinek (reference ``src/TVL1opt_kolmogorov.cpp:38-130``); Johnson's DP
+    (``src/johnsonRyanTV.cpp:9``) computes the same forward clamp bounds.  The
+    derivative-breakpoint deque lives in a per-lane arena; one deque operation is
+    performed per ``while_loop`` iteration; the backward pass is a vectorized
+    reverse scan ``x[i] = clip(x[i+1], lo[i], hi[i])``.
+    """
+    y = jnp.asarray(y)
+    B, n = y.shape
+    dtype = y.dtype
+
+    if n == 1:
+        return y
+
+    lamv = _edge_weights(lam, B, n, dtype)
+    rows = jnp.arange(B)
+    arena = 2 * n  # 2n-1 valid slots (0..2n-2) + garbage bin at 2n-1
+
+    def g_arena(a, idx):
+        return jnp.take_along_axis(a, jnp.clip(idx, 0, arena - 1)[:, None], axis=1)[:, 0]
+
+    def s_arena(a, idx, val, do):
+        # Masked scatter: inactive lanes write to the never-read garbage column.
+        col = jnp.where(do, jnp.clip(idx, 0, arena - 2), arena - 1)
+        return a.at[rows, col].set(val)
+
+    def s_bounds(a, idx, val, do):
+        # lo/hi are (B, n+1); column n is the garbage bin.
+        col = jnp.where(do, jnp.clip(idx, 0, n - 1), n)
+        return a.at[rows, col].set(val)
+
+    def gw(i):
+        return jnp.take_along_axis(lamv, jnp.clip(i, 0, n - 2)[:, None], axis=1)[:, 0]
+
+    def gy(i):
+        return jnp.take_along_axis(y, jnp.clip(i, 0, n - 1)[:, None], axis=1)[:, 0]
+
+    # --- initialization: message at node 0 (reference :152-156) ---
+    w0 = lamv[:, 0]
+    L0 = jnp.full((B,), n - 1, jnp.int32)
+    R0 = jnp.full((B,), n, jnp.int32)
+    P_lam = jnp.zeros((B, arena), dtype)
+    P_slope = jnp.zeros((B, arena), jnp.int32)
+    lo = jnp.zeros((B, n + 1), dtype)
+    hi = jnp.zeros((B, n + 1), dtype)
+
+    P_slope = P_slope.at[rows, L0 - 1].set(-1)
+    lo0 = -w0 + y[:, 0]
+    hi0 = w0 + y[:, 0]
+    P_lam = P_lam.at[rows, L0].set(lo0)
+    P_slope = P_slope.at[rows, L0].set(0)
+    P_lam = P_lam.at[rows, R0].set(hi0)
+    P_slope = P_slope.at[rows, R0].set(-1)
+    lo = lo.at[:, 0].set(lo0)
+    hi = hi.at[:, 0].set(hi0)
+
+    def body(state):
+        (phase, i, A, L, R, msg_min, msg_max, slope, last_val,
+         P_lam, P_slope, lo, hi) = state
+
+        W_prev = gw(i - 1)
+        W = jnp.where(i < n - 1, gw(i), 0.0)
+        bi = gy(i)
+        is_last = i == n - 1
+
+        # ---------- INIT ----------
+        ph_init = phase == _PH_INIT
+        A_i = A + 1
+        mmin_i = -W_prev + g_arena(P_lam, L) - bi
+        mmax_i = W_prev + g_arena(P_lam, R) - bi
+
+        # ---------- LOWER ----------
+        ph_lower = phase == _PH_LOWER
+        pop_l = msg_min < -W
+        slope_l = g_arena(P_slope, L) + A
+        L_l = L + 1
+        l_overrun = L_l > R
+        mmin_l = msg_min + (g_arena(P_lam, L_l) - g_arena(P_lam, L_l - 1)) * slope_l.astype(dtype)
+
+        # ---------- LOWER_EXIT ----------
+        ph_lexit = phase == _PH_LOWER_EXIT
+        over = L > R
+        L_le_last = jnp.where(over, L - 1, L)
+        last_val_new = g_arena(P_lam, L_le_last) - msg_min / slope.astype(dtype)
+        # non-last branch:
+        L_le = L - 1
+        # write P_slope[L_le - 1] = -A
+        meet = L_le == R
+        # meet branch:
+        R_meet = R + 1
+        pl_L_old = g_arena(P_lam, L_le)
+        hi_meet = pl_L_old - (msg_max - W)
+        lo_meet = pl_L_old - (msg_max + W)
+        # no-meet branch:
+        lo_nom = g_arena(P_lam, L_le + 1) - (W + msg_min) / slope.astype(dtype)
+
+        # ---------- UPPER ----------
+        ph_upper = phase == _PH_UPPER
+        pop_u = msg_max > W
+        R_u = R - 1
+        slope_u = g_arena(P_slope, R_u) + A
+        mmax_u = msg_max - (g_arena(P_lam, R_u + 1) - g_arena(P_lam, R_u)) * slope_u.astype(dtype)
+        u_meet = R_u == L
+
+        # ---------- UPPER_EXIT ----------
+        ph_uexit = phase == _PH_UPPER_EXIT
+        R_ue = R + 1
+        hi_ue = g_arena(P_lam, R_ue - 1) + (W - msg_max) / slope.astype(dtype)
+
+        # ============ merge updates ============
+        new_phase = phase
+        new_i = i
+        new_A = A
+        new_L = L
+        new_R = R
+        new_mmin = msg_min
+        new_mmax = msg_max
+        new_slope = slope
+        new_last = last_val
+
+        # INIT
+        new_A = jnp.where(ph_init, A_i, new_A)
+        new_mmin = jnp.where(ph_init, mmin_i, new_mmin)
+        new_mmax = jnp.where(ph_init, mmax_i, new_mmax)
+        new_slope = jnp.where(ph_init, 1, new_slope)
+        new_phase = jnp.where(ph_init, _PH_LOWER, new_phase)
+
+        # LOWER (note: uses pre-INIT values of msg/slope via ph gating)
+        lower_pop = ph_lower & pop_l
+        lower_stay = lower_pop & ~l_overrun
+        lower_exit = ph_lower & (~pop_l | l_overrun)
+        new_slope = jnp.where(lower_pop, slope_l, new_slope)
+        new_L = jnp.where(lower_pop, L_l, new_L)
+        new_mmin = jnp.where(lower_stay, mmin_l, new_mmin)
+        new_phase = jnp.where(lower_exit, _PH_LOWER_EXIT, jnp.where(lower_stay, _PH_LOWER, new_phase))
+
+        # LOWER_EXIT
+        le_done = ph_lexit & is_last
+        new_last = jnp.where(le_done, last_val_new, new_last)
+        new_phase = jnp.where(le_done, _PH_DONE, new_phase)
+        new_L = jnp.where(le_done, L_le_last, new_L)
+
+        le_go = ph_lexit & ~is_last
+        new_L = jnp.where(le_go, L_le, new_L)
+        P_slope = s_arena(P_slope, L_le - 1, -A, le_go)
+        le_meet = le_go & meet
+        new_R = jnp.where(le_meet, R_meet, new_R)
+        P_slope = s_arena(P_slope, R_meet, -A, le_meet)
+        P_lam = s_arena(P_lam, R_meet, hi_meet, le_meet)
+        P_lam = s_arena(P_lam, L_le, jnp.where(le_meet, lo_meet, lo_nom), le_go)
+        hi = s_bounds(hi, i, hi_meet, le_meet)
+        lo = s_bounds(lo, i, jnp.where(le_meet, lo_meet, lo_nom), le_go)
+        new_i = jnp.where(le_meet, i + 1, new_i)
+        new_phase = jnp.where(le_meet, _PH_INIT, new_phase)
+        le_nomeet = le_go & ~meet
+        new_slope = jnp.where(le_nomeet, 1, new_slope)
+        new_phase = jnp.where(le_nomeet, _PH_UPPER, new_phase)
+
+        # UPPER
+        upper_pop = ph_upper & pop_u
+        new_R = jnp.where(upper_pop, R_u, new_R)
+        new_slope = jnp.where(upper_pop, slope_u, new_slope)
+        new_mmax = jnp.where(upper_pop, mmax_u, new_mmax)
+        upper_exit = ph_upper & (~pop_u | (pop_u & u_meet))
+        new_phase = jnp.where(upper_exit, _PH_UPPER_EXIT,
+                              jnp.where(upper_pop & ~u_meet, _PH_UPPER, new_phase))
+
+        # UPPER_EXIT (uses post-UPPER R, msg_max, slope — they are pre-step values
+        # here because UPPER_EXIT runs on a later lock-step iteration)
+        new_R = jnp.where(ph_uexit, R_ue, new_R)
+        P_slope = s_arena(P_slope, R_ue, -A, ph_uexit)
+        P_lam = s_arena(P_lam, R_ue, hi_ue, ph_uexit)
+        hi = s_bounds(hi, i, hi_ue, ph_uexit)
+        new_i = jnp.where(ph_uexit, i + 1, new_i)
+        new_phase = jnp.where(ph_uexit, _PH_INIT, new_phase)
+
+        return (new_phase, new_i, new_A, new_L, new_R, new_mmin, new_mmax,
+                new_slope, new_last, P_lam, P_slope, lo, hi)
+
+    def cond(state):
+        phase = state[0]
+        return jnp.any(phase != _PH_DONE)
+
+    init = (jnp.zeros((B,), jnp.int32),            # phase = INIT
+            jnp.ones((B,), jnp.int32),             # i = 1
+            jnp.ones((B,), jnp.int32),             # A = 1
+            L0, R0,
+            jnp.zeros((B,), dtype), jnp.zeros((B,), dtype),
+            jnp.ones((B,), jnp.int32),
+            jnp.zeros((B,), dtype),
+            P_lam, P_slope, lo, hi)
+    (_, _, _, _, _, _, _, _, last_val, _, _, lo, hi) = jax.lax.while_loop(cond, body, init)
+
+    # Backward clamping pass (reference :216-221), vectorized reverse scan.
+    loT = jnp.moveaxis(lo[:, : n - 1], -1, 0)  # bounds for i = 0..n-2
+    hiT = jnp.moveaxis(hi[:, : n - 1], -1, 0)
+
+    def bwd(x_next, bounds):
+        lo_i, hi_i = bounds
+        x_i = jnp.clip(x_next, lo_i, hi_i)
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(bwd, last_val, (loT, hiT), reverse=True)
+    x = jnp.concatenate([jnp.moveaxis(xs, 0, -1), last_val[:, None]], axis=-1)
+    return _apply_degenerate_guards(x, y, lamv)
+
+
+# ---------------------------------------------------------------------------
+# Method dispatch (mirrors the reference Python method table,
+# prox_tv/__init__.py:163-172)
+# ---------------------------------------------------------------------------
+
+
+def tv1_batched(y, lam, method: str = "hybridtautstring",
+                cfg: TV1Config = DEFAULT_TV1,
+                maxbacktracks: Optional[float] = None):
+    """Batched 1D TV-L1 prox with reference-compatible method names.
+
+    ``classictautstring``/``condattautstring`` map to the exact lock-step scan
+    engine; ``condat``/``linearizedtautstring``/``hybridtautstring`` likewise
+    (Condat's method and the linearized taut string are the same algorithm —
+    reference ``src/TVL1opt.cpp:352-353``); ``dp``/``kolmogorov`` map to the
+    message-passing engine; ``pn`` to the batched projected Newton.  All are
+    exact to solver tolerance, so the hybrid's CPU-specific backtrack-count
+    switching heuristic is unnecessary on TPU: the scan engine is already the
+    batched method of choice and the DP engine gives the O(n) worst case.
+    """
+    method = method.lower()
+    scan_methods = {"classictautstring", "linearizedtautstring", "hybridtautstring",
+                    "condat", "condattautstring", "tautstring"}
+    if method in scan_methods:
+        return tv1_tautstring(y, lam)
+    if method in ("dp", "kolmogorov", "johnson"):
+        return tv1_dp(y, lam)
+    if method == "pn":
+        x, _ = tv1_pn(y, lam, cfg=cfg)
+        return x
+    raise ValueError(f"Unknown TV-L1 method: {method!r}")

@@ -1,0 +1,151 @@
+"""Tests for the 1D TV-L1 engines: golden-oracle checks + the reference's
+cross-method metamorphic strategy (prox_tv_test.py:37-62, :7-34).
+
+Trials are batched at a few fixed shapes to keep XLA compile counts low.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from proxtv_tpu.ops import tv1d_l1, tridiag
+import oracles
+
+METHODS = ["classictautstring", "linearizedtautstring", "hybridtautstring",
+           "pn", "condat", "dp", "condattautstring", "kolmogorov"]
+
+SIZES = [2, 3, 7, 24]
+
+
+def test_tridiag_solvers_match_dense(rng):
+    n, B = 24, 4
+    a = 2.0 + rng.rand(B, n)
+    b = np.concatenate([np.zeros((B, 1)), -rng.rand(B, n - 1)], axis=1)
+    c = np.concatenate([-rng.rand(B, n - 1), np.zeros((B, 1))], axis=1)
+    d = rng.randn(B, n)
+    x_pcr = np.asarray(tridiag.pcr_solve(jnp.array(a), jnp.array(b), jnp.array(c), jnp.array(d)))
+    x_th = np.asarray(tridiag.thomas_solve(jnp.array(a), jnp.array(b), jnp.array(c), jnp.array(d)))
+    for k in range(B):
+        A = np.diag(a[k])
+        for i in range(1, n):
+            A[i, i - 1] = b[k, i]
+            A[i - 1, i] = c[k, i - 1]
+        x_ref = np.linalg.solve(A, d[k])
+        np.testing.assert_allclose(x_pcr[k], x_ref, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(x_th[k], x_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_masked_second_difference_solve(rng):
+    n, B = 12, 3
+    rhs = rng.randn(B, n)
+    mask = rng.rand(B, n) > 0.3
+    mask[:, 0] = True
+    out = np.asarray(tridiag.spd_second_difference_solve(jnp.array(rhs), mask=jnp.array(mask)))
+    for k in range(B):
+        A = np.eye(n)
+        for i in range(n):
+            if mask[k, i]:
+                A[i, i] = 2.0
+        for i in range(n - 1):
+            if mask[k, i] and mask[k, i + 1]:
+                A[i, i + 1] = A[i + 1, i] = -1.0
+        ref = np.linalg.solve(A, np.where(mask[k], rhs[k], 0.0))
+        np.testing.assert_allclose(out[k], np.where(mask[k], ref, 0.0), atol=1e-10)
+
+
+def _run_engine(engine, y2, lam):
+    if engine == "tautstring":
+        return tv1d_l1.tv1_tautstring(y2, lam)
+    if engine == "dp":
+        return tv1d_l1.tv1_dp(y2, lam)
+    return tv1d_l1.tv1_pn(y2, lam)[0]
+
+
+@pytest.mark.parametrize("engine", ["tautstring", "dp", "pn"])
+def test_engines_match_oracle(engine, rng):
+    for n in SIZES:
+        B = 8
+        Y = rng.randn(B, n) * 2
+        lam = float(rng.rand() + 0.3)
+        X = np.asarray(_run_engine(engine, jnp.asarray(Y), lam))
+        for k in range(B):
+            ref = oracles.tv1w_oracle(Y[k], np.full(n - 1, lam))
+            obj_x = oracles.tv1_objective(X[k], Y[k], lam)
+            obj_ref = oracles.tv1_objective(ref, Y[k], lam)
+            assert obj_x <= obj_ref + 1e-6, (engine, n, k, obj_x - obj_ref)
+            np.testing.assert_allclose(X[k], ref, atol=5e-4)
+
+
+@pytest.mark.parametrize("engine", ["tautstring", "dp", "pn"])
+def test_weighted_engines_match_oracle(engine, rng):
+    for n in SIZES:
+        B = 8
+        Y = rng.randn(B, n) * 2
+        W = rng.rand(B, n - 1) * 1.5
+        X = np.asarray(_run_engine(engine, jnp.asarray(Y), jnp.asarray(W)))
+        for k in range(B):
+            ref = oracles.tv1w_oracle(Y[k], W[k])
+            obj_x = oracles.tv1w_objective(X[k], Y[k], W[k])
+            obj_ref = oracles.tv1w_objective(ref, Y[k], W[k])
+            assert obj_x <= obj_ref + 1e-6, (engine, n, k, obj_x - obj_ref)
+            np.testing.assert_allclose(X[k], ref, atol=5e-4)
+
+
+def test_all_methods_agree_batched(rng):
+    """Reference _test_tv1_methods: all methods agree within 1e-3 on random
+    signals (prox_tv_test.py:55-62), here in one batched call."""
+    B, n = 20, 24
+    y = jnp.asarray(rng.randn(B, n) * 2)
+    lam = 0.75
+    sols = {m: np.asarray(tv1d_l1.tv1_batched(y, lam, method=m)) for m in METHODS}
+    base = sols["hybridtautstring"]
+    for m, s in sols.items():
+        np.testing.assert_allclose(s, base, atol=1e-3, err_msg=m)
+
+
+def test_uniform_weights_equals_unweighted(rng):
+    """Reference test_tv1w_1d_uniform_weights incl. tiny edge sizes
+    (prox_tv_test.py:18-34), batched per size."""
+    for n in [2, 3, 4]:
+        B = 64
+        Y = jnp.asarray(100 * rng.randn(B, n))
+        lam = 50 * rng.rand(B)
+        W = jnp.asarray(np.repeat(lam[:, None], n - 1, axis=1))
+        lamb = jnp.asarray(lam)
+        a = np.asarray(tv1d_l1.tv1_tautstring(Y, W))
+        b = np.asarray(tv1d_l1.tv1_tautstring(Y, lamb))
+        np.testing.assert_allclose(a, b, atol=1e-10)
+        c = np.asarray(tv1d_l1.tv1_dp(Y, W))
+        d = np.asarray(tv1d_l1.tv1_dp(Y, lamb))
+        np.testing.assert_allclose(c, d, atol=1e-10)
+        np.testing.assert_allclose(a, c, atol=1e-8)
+
+
+def test_edge_cases(rng):
+    y = jnp.asarray(rng.randn(1, 7))
+    # lam = 0 -> identity
+    np.testing.assert_allclose(np.asarray(tv1d_l1.tv1_tautstring(y, 0.0)), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(tv1d_l1.tv1_dp(y, 0.0)), np.asarray(y), atol=1e-12)
+    x, _ = tv1d_l1.tv1_pn(y, 0.0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-12)
+    # huge lam -> mean
+    m = float(np.mean(np.asarray(y)))
+    for f in (lambda: tv1d_l1.tv1_tautstring(y, 1e6),
+              lambda: tv1d_l1.tv1_dp(y, 1e6),
+              lambda: tv1d_l1.tv1_pn(y, 1e6)[0]):
+        np.testing.assert_allclose(np.asarray(f()), m, atol=1e-6)
+    # n == 1
+    y1 = jnp.asarray([[3.14]])
+    np.testing.assert_allclose(np.asarray(tv1d_l1.tv1_tautstring(y1, 1.0)), 3.14)
+    np.testing.assert_allclose(np.asarray(tv1d_l1.tv1_dp(y1, 1.0)), 3.14)
+
+
+def test_int_input_coercion():
+    """Reference test_tv1_1d_int (prox_tv_test.py:46-52): integer inputs work."""
+    import proxtv_tpu
+
+    x = np.array([1, 2, 3, 4, 5, 1, 2, 3], dtype=np.int64)
+    out = proxtv_tpu.tv1_1d(x, 1)
+    assert out.dtype.kind == "f"
+    ref = oracles.tv1w_oracle(x.astype(float), np.full(7, 1.0))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
