@@ -1,0 +1,67 @@
+"""Tests for the 1D TV-L2 engines: golden-oracle checks plus the reference's
+cross-method agreement strategy (prox_tv_test.py:87-96)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from proxtv_tpu.ops import tv1d_l2
+import oracles
+
+SIZES = [2, 3, 7, 24, 65]
+
+
+def _obj(x, y, lam):
+    return 0.5 * np.sum((x - y) ** 2) + lam * np.linalg.norm(np.diff(x))
+
+
+@pytest.mark.parametrize("engine", ["ms", "pg", "mspg"])
+def test_engines_match_oracle(engine, rng):
+    for n in SIZES:
+        B = 6
+        Y = rng.randn(B, n) * 2
+        lam = float(rng.rand() + 0.2)
+        X, info = tv1d_l2.tv2_batched(jnp.asarray(Y), lam, method=engine)
+        X = np.asarray(X)
+        for k in range(B):
+            ref = oracles.tv2_oracle(Y[k], lam)
+            assert _obj(X[k], Y[k], lam) <= _obj(ref, Y[k], lam) + 1e-5, (engine, n, k)
+            np.testing.assert_allclose(X[k], ref, atol=2e-3)
+
+
+def test_methods_agree_batched(rng):
+    """Reference test_tv2_1d (prox_tv_test.py:87-96): ms/pg/mspg agree."""
+    B, n = 16, 32
+    y = jnp.asarray(rng.randn(B, n) * 2)
+    lam = 0.9
+    sols = {m: np.asarray(tv1d_l2.tv2_batched(y, lam, method=m)[0])
+            for m in ["ms", "pg", "mspg"]}
+    np.testing.assert_allclose(sols["ms"], sols["mspg"], atol=1e-3)
+    np.testing.assert_allclose(sols["pg"], sols["mspg"], atol=1e-3)
+
+
+def test_interior_case_gives_mean(rng):
+    """Huge lam: the dual ball contains the unconstrained optimum -> x = mean(y)."""
+    y = jnp.asarray(rng.randn(3, 9))
+    m = np.mean(np.asarray(y), axis=-1)
+    for method in ["ms", "mspg"]:
+        x, info = tv1d_l2.tv2_batched(y, 1e6, method=method)
+        np.testing.assert_allclose(np.asarray(x), m[:, None] * np.ones((1, 9)), atol=1e-8)
+        assert np.all(np.asarray(info.rc) == 0)
+
+
+def test_zero_lam_identity(rng):
+    y = jnp.asarray(rng.randn(2, 8))
+    for method in ["ms", "pg", "mspg"]:
+        x, _ = tv1d_l2.tv2_batched(y, 0.0, method=method)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-12)
+
+
+def test_per_batch_lambda(rng):
+    B, n = 4, 16
+    Y = rng.randn(B, n)
+    lams = np.array([0.1, 0.7, 2.0, 30.0])
+    X, _ = tv1d_l2.tv2_ms(jnp.asarray(Y), jnp.asarray(lams))
+    for k in range(B):
+        ref = oracles.tv2_oracle(Y[k], lams[k])
+        np.testing.assert_allclose(np.asarray(X)[k], ref, atol=2e-3)
