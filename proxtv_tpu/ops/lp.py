@@ -1,0 +1,218 @@
+"""Lp-norm primitives: ball projections, proxes, and the linear oracle (TPU-native).
+
+Covers the capability set of reference ``src/LPopt.cpp`` (C11 in SURVEY.md):
+``LPnorm`` (:mod:`proxtv_tpu.utils.lpnorms`), ``PN_LP1``/``PN_LP2``/``PN_LPinf``/
+``PN_LPp`` (norm proxes), ``LP1_project``/``LPp_project`` (ball projections) and
+``solveLinearLP`` (the Frank-Wolfe linear oracle).
+
+The TPU design inverts the reference's structure.  The reference computes the
+general-p *prox* with a delicate projected-Newton iteration (diag+rank-1
+Hessian, MNSG fallback, Armijo interpolation — ``src/LPopt.cpp:212-746``) and
+derives ball *projection* from it via Moreau (``src/LPopt.cpp:888``).  Here the
+primitive is the ball projection, computed by a doubly-nested **monotone
+root-find on the KKT system** — every step a full-width vector op, no
+gather/scatter, unconditionally convergent for all p in (1, inf):
+
+    proj onto {||x||_p <= R}:  |x_i| + mu * p * |x_i|^{p-1} = |y_i|,
+    with the scalar mu >= 0 chosen so ||x||_p = R  (safeguarded bisection over
+    mu; safeguarded Newton in each coordinate, batched).
+
+The general prox then falls out of Moreau:  prox_{t||.||_p}(y) = y -
+proj_{||.||_q <= t}(y), q = p/(p-1).  Degenerate regimes follow the reference's
+clamping (``src/LPopt.h:33-36``): p <= 1.002 -> L1, p >= 100 -> Linf.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.lpnorms import P_LARGE, P_SMALL, lp_norm
+
+_BRACKET_STEPS = 60
+_BISECT_STEPS = 50
+_INNER_STEPS = 45
+
+
+def dual_p(p: float) -> float:
+    """Holder conjugate exponent q = p/(p-1), with the inf/1 limits."""
+    if p <= P_SMALL:
+        return float("inf")
+    if p >= P_LARGE:
+        return 1.0
+    return p / (p - 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form special cases
+# ---------------------------------------------------------------------------
+
+
+def linf_ball_project(y, R):
+    """Projection onto {||x||_inf <= R}: elementwise clip."""
+    R = jnp.asarray(R, y.dtype)
+    Rb = R[..., None] if R.ndim == y.ndim - 1 else R
+    return jnp.clip(y, -Rb, Rb)
+
+
+def l2_ball_project(y, R):
+    """Radial shrink onto {||x||_2 <= R} (reference PN_LP2 via Moreau)."""
+    R = jnp.asarray(R, y.dtype)
+    nrm = jnp.linalg.norm(y, axis=-1)
+    scale = jnp.where(nrm > R, R / jnp.maximum(nrm, 1e-300), 1.0)
+    return y * scale[..., None]
+
+
+def l1_ball_project(y, R):
+    """Sort-based projection onto {||x||_1 <= R} (Duchi et al.; reference
+    ``LP1_project``, src/LPopt.cpp:804), batched on the last axis."""
+    R = jnp.broadcast_to(jnp.asarray(R, y.dtype), y.shape[:-1])
+    a = jnp.abs(y)
+    inside = jnp.sum(a, axis=-1) <= R
+    s = jnp.sort(a, axis=-1)[..., ::-1]
+    cs = jnp.cumsum(s, axis=-1)
+    k = jnp.arange(1, y.shape[-1] + 1, dtype=y.dtype)
+    cand = (cs - R[..., None]) / k
+    ok = s - cand > 0
+    # Largest k with s_k > theta_k; rho >= 1 always since R >= 0.
+    rho = jnp.sum(ok, axis=-1) - 1
+    theta = jnp.take_along_axis(cand, rho[..., None], axis=-1)
+    theta = jnp.maximum(theta, 0.0)
+    x = jnp.sign(y) * jnp.maximum(a - theta, 0.0)
+    return jnp.where(inside[..., None], y, x)
+
+
+def soft_threshold(y, t):
+    """Prox of t||.||_1 (reference PN_LP1, src/LPopt.cpp:95)."""
+    t = jnp.asarray(t, y.dtype)
+    tb = t[..., None] if t.ndim == y.ndim - 1 else t
+    return jnp.sign(y) * jnp.maximum(jnp.abs(y) - tb, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# General-p ball projection: monotone KKT root-find
+# ---------------------------------------------------------------------------
+
+
+def _coord_root(a, mu, p):
+    """Solve s + mu*p*s^(p-1) = a for s in [0, a], elementwise (a >= 0, mu >= 0).
+
+    Elementwise bisection: f is strictly increasing with f(0) <= 0 <= f(a), so
+    the bracket always converges — unlike Newton, whose derivative blows up at
+    s -> 0 for p < 2 (the regime where the reference needs its MNSG fallback,
+    src/LPopt.cpp:451-459).  Every step is a full-width vector op.
+    """
+
+    def f(s):
+        return s + mu * p * s ** (p - 1.0) - a
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        pos = f(mid) > 0
+        return jnp.where(pos, lo, mid), jnp.where(pos, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(
+        0, _INNER_STEPS, body, (jnp.zeros_like(a), a))
+    return 0.5 * (lo + hi)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _lp_ball_project_general(y, R, p: float):
+    """Projection onto {||x||_p <= R} for p in (1.002, 100), batched.
+
+    Outer safeguarded bisection on the KKT multiplier mu (G(mu) = ||x(mu)||_p^p
+    - R^p is strictly decreasing); inner per-coordinate Newton (:func:`_coord_root`).
+    """
+    a = jnp.abs(y)
+    R = jnp.broadcast_to(jnp.asarray(R, y.dtype), y.shape[:-1])
+    nrm = lp_norm(a, p)
+    inside = nrm <= R
+    pos_R = R > 0
+
+    # Work in a normalized scale to keep powers tame: divide by max|y|.
+    scale = jnp.maximum(jnp.max(a, axis=-1), 1e-300)
+    an = a / scale[..., None]
+    Rn = R / scale
+
+    def norm_pp(mu):
+        s = _coord_root(an, mu[..., None], p)
+        return jnp.sum(s ** p, axis=-1), s
+
+    # Bracket: double mu until G(mu) < 0.
+    def bracket_body(_, state):
+        hi, done = state
+        g, _ = norm_pp(hi)
+        need = ~done & (g > Rn ** p)
+        hi = jnp.where(need, hi * 4.0, hi)
+        done = done | ~need
+        return hi, done
+
+    hi0 = jnp.ones_like(Rn)
+    hi, _ = jax.lax.fori_loop(0, _BRACKET_STEPS // 2, bracket_body,
+                              (hi0, jnp.zeros(Rn.shape, bool)))
+    lo = jnp.zeros_like(hi)
+
+    def bisect_body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        g, _ = norm_pp(mid)
+        too_big = g > Rn ** p
+        lo = jnp.where(too_big, mid, lo)
+        hi = jnp.where(too_big, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _BISECT_STEPS, bisect_body, (lo, hi))
+    _, s = norm_pp(0.5 * (lo + hi))
+    x = jnp.sign(y) * s * scale[..., None]
+    x = jnp.where(pos_R[..., None], x, jnp.zeros_like(x))
+    return jnp.where(inside[..., None], y, x)
+
+
+def lp_ball_project(y, R, p: float):
+    """Projection onto {||x||_p <= R} with the reference's p-clamping
+    (reference LPp_project, src/LPopt.cpp:888; p regimes src/LPopt.h:33-36)."""
+    if p <= P_SMALL:
+        return l1_ball_project(y, R)
+    if p >= P_LARGE:
+        return linf_ball_project(y, R)
+    if p == 2.0:
+        return l2_ball_project(y, R)
+    return _lp_ball_project_general(y, R, p)
+
+
+def lp_prox(y, t, p: float):
+    """Prox of t*||.||_p via Moreau: y - proj_{||.||_q <= t}(y), q = p/(p-1)
+    (reference PN_LPp, src/LPopt.cpp:212, structure inverted — see module doc)."""
+    if p <= P_SMALL:
+        return soft_threshold(y, t)
+    if p >= P_LARGE:
+        # prox of t*||.||_inf = y - proj onto L1 ball of radius t.
+        return y - l1_ball_project(y, t)
+    if p == 2.0:
+        return y - l2_ball_project(y, t)
+    return y - lp_ball_project(y, t, dual_p(p))
+
+
+def solve_linear_lp(g, R, p: float):
+    """Linear oracle: argmin_{||s||_p <= R} s'g (reference solveLinearLP,
+    src/LPopt.cpp:1000).  Closed form via Holder equality: the minimizer is
+    -R * sign(g) |g|^{q-1} / ||g||_q^{q-1} with q = p/(p-1); for p = 1 a signed
+    vertex at the max-|g| coordinate; for p = inf the sign vector."""
+    R = jnp.broadcast_to(jnp.asarray(R, g.dtype), g.shape[:-1])[..., None]
+    if p <= P_SMALL:
+        idx = jnp.argmax(jnp.abs(g), axis=-1, keepdims=True)
+        val = jnp.take_along_axis(g, idx, axis=-1)
+        s = jnp.zeros_like(g)
+        onehot = jnp.arange(g.shape[-1]) == idx
+        return jnp.where(onehot, -R * jnp.sign(val), s)
+    if p >= P_LARGE:
+        return -R * jnp.sign(g)
+    q = dual_p(p)
+    ag = jnp.abs(g)
+    mx = jnp.maximum(jnp.max(ag, axis=-1, keepdims=True), 1e-300)
+    r = ag / mx
+    num = r ** (q - 1.0)
+    den = jnp.maximum(jnp.sum(r ** q, axis=-1, keepdims=True) ** ((q - 1.0) / q), 1e-300)
+    return -R * jnp.sign(g) * num / den

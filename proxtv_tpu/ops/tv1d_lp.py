@@ -1,0 +1,270 @@
+"""Batched 1D TV-Lp proximity solvers for general p >= 1 (TPU-native).
+
+Solves, for every signal in a batch,
+
+    min_x 0.5 ||x - y||^2 + lam ||D x||_p
+
+via the dual ball-constrained quadratic
+
+    min_{||w||_q <= lam} 0.5 w' DD' w - w' dy,      q = p/(p-1),
+
+(reference ``src/TVLPopt.cpp``).  Engines:
+
+*   :func:`tvp_gp` — projected gradient with Lipschitz step 1/L, L = 4
+    (reference ``GP_TVp`` :37, Lipschitz setup :45).
+*   :func:`tvp_ogp` — optimized/strongly-convex momentum gradient using
+    mu = 2 - 2 cos(pi/(n+1)) = lambda_min(DD') (reference ``OGP_TVp`` :295,
+    mu at :436).
+*   :func:`tvp_fista` — FISTA momentum over the projection (reference
+    ``FISTA_TVp`` :583).
+*   :func:`tvp_fw` — Frank-Wolfe with the closed-form Lp linear oracle and
+    exact line search (reference ``FW_TVp`` :871, oracle ``solveLinearLP``).
+*   :func:`tvp_gpfw` — the reference default hybrid: 1 GP step every
+    ``cfg.fw_cycles`` FW steps; pure GP when p > ``cfg.p_gp_only``
+    (reference ``GPFW_TVp`` :1111, fallback :1144-1145).
+
+The q-ball projection is the monotone KKT root-find in
+:mod:`proxtv_tpu.ops.lp` — unconditionally convergent, all full-width vector
+ops — replacing the reference's inner projected-Newton prox (``PN_LPp``).
+
+Closed-form exits mirror the reference (``src/TVLPopt.cpp:1193-1219``): the
+unconstrained dual solution (tridiagonal solve) is used when it is inside the
+ball (then x = mean(y)); p-degenerate regimes route to the exact TV-L1 / TV-L2
+engines per the reference's p-clamping.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import diffs
+from ..utils.config import DEFAULT_TVP, TVpConfig
+from ..utils.info import RC_ITERS, RC_OK, make_info
+from ..utils.lpnorms import P_LARGE, P_SMALL, lp_norm
+from . import lp, tridiag
+
+_L_LIPSCHITZ = 4.0  # lambda_max(DD') < 4 (reference src/TVLPopt.cpp:45)
+
+
+def _lam_vec(lam, B, dtype):
+    lam = jnp.asarray(lam, dtype)
+    if lam.ndim == 0:
+        return jnp.broadcast_to(lam, (B,))
+    return lam.reshape(B)
+
+
+def _gap_tvp(w, g, lam, p):
+    """Duality gap: lam * ||g||_p + w'g  (Holder; == 0 at optimum)."""
+    return jnp.abs(lam * lp_norm(g, p) + jnp.sum(w * g, axis=-1))
+
+
+def _hess_mv(w):
+    """DD' w as a stencil op (full-width, no matmul needed)."""
+    return diffs.primal2grad(diffs.adjoint_diff(w))
+
+
+def _common_setup(y, lam, p):
+    y = jnp.asarray(y)
+    B, n = y.shape
+    dtype = y.dtype
+    lamv = _lam_vec(lam, B, dtype)
+    dy = diffs.forward_diff(y)
+    q = lp.dual_p(p)
+    # Closed-form exit: unconstrained solution inside the ball -> x = mean.
+    w0 = tridiag.spd_second_difference_solve(dy)
+    interior = (lp_norm(w0, q) <= lamv) & (lamv > 0)
+    zero_pen = lamv <= 0
+    return y, B, n, dtype, lamv, dy, q, w0, interior, zero_pen
+
+
+def _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running):
+    x = diffs.dual2primal(jnp.where(interior[:, None], w0, w), y)
+    x = jnp.where(zero_pen[:, None], y, x)
+    g = diffs.primal2grad(x)
+    gap = jnp.where(interior | zero_pen, 0.0, _gap_tvp(w, g, lamv, p))
+    rc = jnp.where(running & ~interior & ~zero_pen, RC_ITERS, RC_OK).astype(jnp.int32)
+    return x, make_info(iters, gap, rc)
+
+
+def _run_projected(y, lam, p, cfg, max_iters, momentum):
+    """Shared driver for GP / OGP / FISTA: projected (momentum) gradient
+    with per-lane convergence masking under a single ``while_loop``."""
+    y, B, n, dtype, lamv, dy, q, w0, interior, zero_pen = _common_setup(y, lam, p)
+    if n == 1:
+        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                            jnp.zeros((B,), jnp.int32))
+    cap = int(max_iters) if max_iters else cfg.max_iters
+    step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
+
+    if momentum == "ogp":
+        # mu-strongly-convex momentum (reference OGP_TVp :436).
+        mu = 2.0 - 2.0 * jnp.cos(jnp.pi / (n + 1.0))
+        kappa = _L_LIPSCHITZ / mu
+        beta_const = (jnp.sqrt(kappa) - 1.0) / (jnp.sqrt(kappa) + 1.0)
+    else:
+        beta_const = None
+
+    def proj(u):
+        return lp.lp_ball_project(u, lamv, q)
+
+    def body(state):
+        w, z, t, gap, iters, running = state
+        grad = _hess_mv(z) - dy
+        w_new = proj(z - step * grad)
+        if momentum == "gp":
+            z_new, t_new = w_new, t
+        elif momentum == "ogp":
+            z_new = w_new + beta_const * (w_new - w)
+            t_new = t
+        else:  # fista
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            z_new = w_new + ((t - 1.0) / t_new)[:, None] * (w_new - w)
+        x = diffs.dual2primal(w_new, y)
+        g = diffs.primal2grad(x)
+        gap_new = _gap_tvp(w_new, g, lamv, p)
+
+        w = jnp.where(running[:, None], w_new, w)
+        z = jnp.where(running[:, None], z_new, z)
+        t = jnp.where(running, t_new, t)
+        gap = jnp.where(running, gap_new, gap)
+        iters = iters + running.astype(jnp.int32)
+        running = running & (gap > cfg.stop)
+        return w, z, t, gap, iters, running
+
+    def cond(state):
+        *_, iters, running = state
+        return jnp.any(running) & (jnp.max(iters) < cap)
+
+    w_init = proj(w0)
+    x0 = diffs.dual2primal(w_init, y)
+    gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
+    running0 = (gap0 > cfg.stop) & ~interior & ~zero_pen
+    t0 = jnp.ones((B,), dtype)
+    w, _, _, gap, iters, running = jax.lax.while_loop(
+        cond, body, (w_init, w_init, t0, gap0, jnp.zeros((B,), jnp.int32), running0))
+    return _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters"))
+def tvp_gp(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+    """Projected-gradient TV-Lp prox (reference GP_TVp)."""
+    return _run_projected(y, lam, p, cfg, max_iters, "gp")
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters"))
+def tvp_ogp(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+    """Optimized (strongly-convex momentum) gradient TV-Lp prox (reference OGP_TVp)."""
+    return _run_projected(y, lam, p, cfg, max_iters, "ogp")
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters"))
+def tvp_fista(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+    """FISTA TV-Lp prox (reference FISTA_TVp)."""
+    return _run_projected(y, lam, p, cfg, max_iters, "fista")
+
+
+def _fw_direction(w, grad, lamv, q):
+    """Frank-Wolfe atom + exact line search step for the dual quadratic."""
+    s = lp.solve_linear_lp(grad, lamv, q)
+    d = s - w
+    num = -jnp.sum(grad * d, axis=-1)
+    den = jnp.sum(d * _hess_mv(d), axis=-1)
+    gamma = jnp.where(den > 0, jnp.clip(num / jnp.maximum(den, 1e-300), 0.0, 1.0),
+                      jnp.where(num > 0, 1.0, 0.0))
+    return d, gamma, num
+
+
+@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters", "gp_every"))
+def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
+    """Shared FW / GPFW driver.  ``gp_every == 0`` -> pure FW; otherwise one GP
+    step every ``gp_every`` iterations (reference FW_CYCLES_TVLP = 10)."""
+    y, B, n, dtype, lamv, dy, q, w0, interior, zero_pen = _common_setup(y, lam, p)
+    if n == 1:
+        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                            jnp.zeros((B,), jnp.int32))
+    cap = int(max_iters) if max_iters else cfg.max_iters_fw
+    step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
+
+    def proj(u):
+        return lp.lp_ball_project(u, lamv, q)
+
+    def body(state):
+        w, gap, iters, k, running = state
+        grad = _hess_mv(w) - dy
+        d, gamma, fw_gap = _fw_direction(w, grad, lamv, q)
+        w_fw = w + gamma[:, None] * d
+        if gp_every:
+            use_gp = (k % gp_every) == 0
+            w_gp = proj(w - step * grad)
+            w_new = jnp.where(use_gp, w_gp, w_fw)
+        else:
+            w_new = w_fw
+        x = diffs.dual2primal(w_new, y)
+        g = diffs.primal2grad(x)
+        gap_new = _gap_tvp(w_new, g, lamv, p)
+
+        w = jnp.where(running[:, None], w_new, w)
+        gap = jnp.where(running, gap_new, gap)
+        iters = iters + running.astype(jnp.int32)
+        # FW duality gap (-grad'd) is also a certificate; stop on either.
+        running = running & (gap > cfg.stop) & (fw_gap > cfg.stop)
+        return w, gap, iters, k + 1, running
+
+    def cond(state):
+        _, _, iters, _, running = state
+        return jnp.any(running) & (jnp.max(iters) < cap)
+
+    w_init = proj(w0)
+    x0 = diffs.dual2primal(w_init, y)
+    gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
+    running0 = (gap0 > cfg.stop) & ~interior & ~zero_pen
+    w, gap, iters, _, running = jax.lax.while_loop(
+        cond, body,
+        (w_init, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1), running0))
+    return _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running)
+
+
+def tvp_fw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+    """Frank-Wolfe TV-Lp prox (reference FW_TVp)."""
+    return _run_fw(y, lam, p, cfg, max_iters, 0)
+
+
+def tvp_gpfw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+    """Hybrid GP+FW TV-Lp prox, the reference default (GPFW_TVp).
+
+    Falls back to pure GP for p > cfg.p_gp_only (reference :1144-1145: the FW
+    oracle's |g|^{p-1} powers are ill-conditioned at large p)."""
+    if p > cfg.p_gp_only:
+        return tvp_gp(y, lam, p, cfg=cfg, max_iters=max_iters)
+    return _run_fw(y, lam, p, cfg, max_iters, cfg.fw_cycles)
+
+
+def tvp_batched(y, lam, p: float, method: str = "gpfw",
+                cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+    """Method dispatch mirroring the reference (prox_tv/__init__.py:311-352),
+    with the p-degenerate regimes routed to the exact specialized engines."""
+    p = float(p)
+    if p <= P_SMALL:
+        # p ~ 1: exact TV-L1 (reference clamps p <= 1.002 to L1).
+        from . import tv1d_l1
+        x = tv1d_l1.tv1_tautstring(y, lam)
+        B = x.shape[0]
+        return x, make_info(jnp.zeros((B,), jnp.int32),
+                            jnp.zeros((B,), x.dtype), jnp.zeros((B,), jnp.int32))
+    if p == 2.0:
+        from . import tv1d_l2
+        return tv1d_l2.tv2_ms(y, lam)
+    method = method.lower()
+    if method == "gp":
+        return tvp_gp(y, lam, p, cfg=cfg, max_iters=max_iters)
+    if method == "ogp":
+        return tvp_ogp(y, lam, p, cfg=cfg, max_iters=max_iters)
+    if method == "fista":
+        return tvp_fista(y, lam, p, cfg=cfg, max_iters=max_iters)
+    if method == "fw":
+        return tvp_fw(y, lam, p, cfg=cfg, max_iters=max_iters)
+    if method == "gpfw":
+        return tvp_gpfw(y, lam, p, cfg=cfg, max_iters=max_iters)
+    raise ValueError(f"Unknown TV-Lp method: {method!r}")

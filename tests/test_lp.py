@@ -1,0 +1,107 @@
+"""Tests for Lp-norm primitives: ball projections, proxes, linear oracle."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from scipy.optimize import minimize
+
+from proxtv_tpu.ops import lp
+from proxtv_tpu.utils.lpnorms import lp_norm
+
+
+def _proj_oracle(y, R, p):
+    """Projection onto the Lp ball via scipy SLSQP."""
+    y = np.asarray(y, float)
+    if np.linalg.norm(y, p) <= R:
+        return y
+    res = minimize(lambda x: 0.5 * np.sum((x - y) ** 2), y,
+                   jac=lambda x: x - y, method="SLSQP",
+                   constraints=[{"type": "ineq",
+                                 "fun": lambda x: R ** p - np.sum(np.abs(x) ** p)}],
+                   options={"maxiter": 500, "ftol": 1e-14})
+    return res.x
+
+
+@pytest.mark.parametrize("p", [1.5, 2.0, 3.0, 5.0])
+def test_ball_projection_general(p, rng):
+    B, n = 6, 12
+    Y = rng.randn(B, n) * 3
+    R = 1.5
+    X = np.asarray(lp.lp_ball_project(jnp.asarray(Y), R, p))
+    for k in range(B):
+        ref = _proj_oracle(Y[k], R, p)
+        np.testing.assert_allclose(X[k], ref, atol=1e-5)
+        assert np.sum(np.abs(X[k]) ** p) <= R ** p * (1 + 1e-8)
+
+
+def _duchi_np(y, R):
+    """Straightforward numpy reference for the L1-ball projection."""
+    a = np.abs(y)
+    if a.sum() <= R:
+        return y.copy()
+    s = np.sort(a)[::-1]
+    cs = np.cumsum(s)
+    k = np.arange(1, y.size + 1)
+    rho = np.max(np.where(s - (cs - R) / k > 0)[0])
+    theta = (cs[rho] - R) / (rho + 1)
+    return np.sign(y) * np.maximum(a - theta, 0.0)
+
+
+def test_l1_ball_projection(rng):
+    B, n = 8, 15
+    Y = rng.randn(B, n) * 2
+    R = 2.0
+    X = np.asarray(lp.l1_ball_project(jnp.asarray(Y), R))
+    for k in range(B):
+        ref = _duchi_np(Y[k], R)
+        np.testing.assert_allclose(X[k], ref, atol=1e-12)
+    # Inside the ball: identity.
+    small = Y * 1e-3
+    np.testing.assert_allclose(np.asarray(lp.l1_ball_project(jnp.asarray(small), R)),
+                               small)
+
+
+def test_linf_ball_projection(rng):
+    Y = rng.randn(4, 9) * 3
+    X = np.asarray(lp.linf_ball_project(jnp.asarray(Y), 1.0))
+    np.testing.assert_allclose(X, np.clip(Y, -1, 1))
+
+
+def test_prox_moreau_consistency(rng):
+    """prox_{t||.||_p}(y) + proj_{||.||_q <= t}(y) == y, and the prox solves
+    its optimality condition (subgradient check via objective comparison)."""
+    B, n = 4, 10
+    Y = rng.randn(B, n) * 2
+    t = 0.8
+    for p in [1.5, 2.0, 3.0]:
+        P = np.asarray(lp.lp_prox(jnp.asarray(Y), t, p))
+        # objective at prox <= objective at a few random perturbations
+        for k in range(B):
+            obj = 0.5 * np.sum((P[k] - Y[k]) ** 2) + t * np.linalg.norm(P[k], p)
+            for _ in range(10):
+                z = P[k] + 0.01 * rng.randn(n)
+                objz = 0.5 * np.sum((z - Y[k]) ** 2) + t * np.linalg.norm(z, p)
+                assert obj <= objz + 1e-10
+
+
+def test_soft_threshold(rng):
+    Y = rng.randn(3, 7)
+    X = np.asarray(lp.soft_threshold(jnp.asarray(Y), 0.5))
+    np.testing.assert_allclose(X, np.sign(Y) * np.maximum(np.abs(Y) - 0.5, 0))
+
+
+@pytest.mark.parametrize("p", [1.0, 1.5, 2.0, 3.0, 120.0])
+def test_linear_oracle(p, rng):
+    """Oracle minimizes s'g over the ball: check optimality vs random feasible points."""
+    B, n = 5, 11
+    G = rng.randn(B, n)
+    R = 1.3
+    S = np.asarray(lp.solve_linear_lp(jnp.asarray(G), R, p))
+    pp = np.inf if p >= 100.0 else max(p, 1.0)  # clamped regimes (LPopt.h:33-36)
+    for k in range(B):
+        assert np.linalg.norm(S[k], pp) <= R * (1 + 1e-6)
+        val = np.dot(S[k], G[k])
+        for _ in range(30):
+            z = rng.randn(n)
+            z = z / max(np.linalg.norm(z, pp), 1e-12) * R
+            assert val <= np.dot(z, G[k]) + 1e-8

@@ -1,0 +1,84 @@
+"""Tests for the 1D TV-Lp engines: golden-oracle checks plus the reference's
+cross-method agreement strategy (prox_tv_test.py:65-84)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from proxtv_tpu.ops import tv1d_lp
+import oracles
+
+METHODS = ["gp", "ogp", "fista", "fw", "gpfw"]
+
+
+def _obj(x, y, lam, p):
+    return 0.5 * np.sum((x - y) ** 2) + lam * np.linalg.norm(np.diff(x), p)
+
+
+@pytest.mark.parametrize("p", [1.5, 3.0])
+def test_engines_match_oracle(p, rng):
+    B, n = 6, 16
+    Y = rng.randn(B, n) * 2
+    lam = 0.8
+    for method in METHODS:
+        X, info = tv1d_lp.tvp_batched(jnp.asarray(Y), lam, p, method=method)
+        X = np.asarray(X)
+        for k in range(B):
+            ref = oracles.tvp_oracle(Y[k], lam, p)
+            assert _obj(X[k], Y[k], lam, p) <= _obj(ref, Y[k], lam, p) + 1e-4, \
+                (method, p, k)
+            np.testing.assert_allclose(X[k], ref, atol=5e-3, err_msg=f"{method} p={p}")
+
+
+def test_methods_agree(rng):
+    """Reference test_tvp_1d (prox_tv_test.py:65-84), without its tolerated
+    failures: all methods agree within 1e-3."""
+    from proxtv_tpu.utils.config import TVpConfig
+    cfg = TVpConfig(stop=1e-7)  # tighter than default so agreement is sharp
+    B, n = 8, 14
+    Y = jnp.asarray(rng.randn(B, n) * 2)
+    for p in [1.25, 2.5, 6.0]:
+        sols = {m: np.asarray(tv1d_lp.tvp_batched(Y, 0.6, p, method=m, cfg=cfg)[0])
+                for m in METHODS}
+        base = sols["gpfw"]
+        for m, s in sols.items():
+            np.testing.assert_allclose(s, base, atol=1e-3, err_msg=f"{m} p={p}")
+
+
+def test_p_degenerate_routes(rng):
+    """p=1 routes to exact TV-L1; p=2 to TV-L2 MS; large p behaves as Linf."""
+    from proxtv_tpu.ops import tv1d_l1, tv1d_l2
+    B, n = 4, 12
+    Y = jnp.asarray(rng.randn(B, n) * 2)
+    x1, _ = tv1d_lp.tvp_batched(Y, 0.7, 1.0)
+    np.testing.assert_allclose(np.asarray(x1),
+                               np.asarray(tv1d_l1.tv1_tautstring(Y, 0.7)), atol=1e-12)
+    x2, _ = tv1d_lp.tvp_batched(Y, 0.7, 2.0)
+    np.testing.assert_allclose(np.asarray(x2),
+                               np.asarray(tv1d_l2.tv2_ms(Y, 0.7)[0]), atol=1e-12)
+
+
+def test_large_p_gp_fallback(rng):
+    """GPFW falls back to GP for p > 10 (reference TVLPopt.cpp:1144-1145)."""
+    B, n = 3, 10
+    Y = jnp.asarray(rng.randn(B, n))
+    x_gpfw, _ = tv1d_lp.tvp_batched(Y, 0.5, 30.0, method="gpfw")
+    x_gp, _ = tv1d_lp.tvp_batched(Y, 0.5, 30.0, method="gp")
+    np.testing.assert_allclose(np.asarray(x_gpfw), np.asarray(x_gp), atol=1e-12)
+
+
+def test_huge_lam_gives_uniform_progress(rng):
+    """Huge lam -> ||Dx||_p ~ 0 -> x ~ mean."""
+    Y = jnp.asarray(rng.randn(2, 9) * 3)
+    m = np.mean(np.asarray(Y), axis=-1)
+    x, info = tv1d_lp.tvp_batched(Y, 1e6, 3.0)
+    np.testing.assert_allclose(np.asarray(x), np.broadcast_to(m[:, None], (2, 9)),
+                               atol=1e-6)
+
+
+def test_max_iters_honored(rng):
+    """Unlike the reference Python layer (prox_tv/__init__.py:351), max_iters
+    is forwarded: a 1-iteration run reports iters <= 1."""
+    Y = jnp.asarray(rng.randn(2, 20) * 2)
+    _, info = tv1d_lp.tvp_batched(Y, 0.8, 3.0, method="gp", max_iters=1)
+    assert np.all(np.asarray(info.iters) <= 1)
