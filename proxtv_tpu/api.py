@@ -190,8 +190,9 @@ def tvgen_nd(x, ws, ds, ps, max_iters=0, method="pd", return_info=False):
     from .models import tvnd
 
     X = jnp.asarray(np.asarray(x, dtype=float))
-    out, info = tvnd.tv_nd_batched(X[None], [float(v) for v in ws],
-                                   [int(v) for v in ds], [float(v) for v in ps],
+    out, info = tvnd.tv_nd_batched(X[None], tuple(float(v) for v in ws),
+                                   tuple(int(v) for v in ds),
+                                   tuple(float(v) for v in ps),
                                    max_iters=int(max_iters), method=method)
     if return_info:
         return np.asarray(out[0]), info

@@ -1,0 +1,220 @@
+"""Batched ND generalized-TV proximity combiners (TPU-native).
+
+Solves, for a batch of K-dimensional tensors,
+
+    min_X 0.5 ||X - Y||^2 + sum_i w_i * TV_{p_i}(X along dim d_i)
+
+for an arbitrary list of penalty terms (w_i, d_i, p_i) — the reference's
+generalized-TV problem (``src/TVNDopt.cpp``, ``TVgenopt.cpp:25-34``).  Each
+term's prox is a batched 1D prox over every fiber along its dimension: the
+fibers become a batch axis (one reshape/transpose), not an OpenMP loop.
+
+Engines:
+
+*   :func:`tv_nd_batched` with ``method='pd'`` — Parallel Proximal Dykstra
+    (reference ``PD_TV``, src/TVNDopt.cpp:48): product-space Dykstra with the
+    lambda_i * npen rescale (reference :100-101) and mean recombination.
+*   ``method='pdr'`` — Parallel Douglas-Rachford (reference ``PDR_TV``,
+    src/TVNDopt.cpp:280): product-space DR where each component prox carries
+    its share of the quadratic term.
+*   ``method='yang'`` — consensus ADMM with rho = 10, the ND generalization of
+    the reference's ``Yang2_TV``/``Yang3_TV`` (src/TV2Dopt.cpp:787,
+    src/TVNDopt.cpp:678).
+*   :func:`tv_value` — the generalized TV penalty value (reference ``TVval``,
+    src/TVNDopt.cpp:524).
+*   :func:`tvgen_dispatch` — the intended dispatch rule (MATLAB
+    ``matlab/solveTVgen.cpp:90-97``): 2D signal penalized on both dims ->
+    2D Douglas-Rachford; two terms -> Dykstra; more -> Parallel Dykstra.
+    (The reference *Python* layer's operator-precedence bug sends everything
+    to PD, prox_tv/__init__.py:585 — fixed here.)
+
+Dimension indices ``ds`` are 1-based over the signal dimensions (matching the
+reference convention), i.e. ``d=1`` penalizes fibers along the first signal
+axis.  All entry points take (B, *signal_dims) stacks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import tv1d_l1, tv1d_l2, tv1d_lp
+from ..utils.config import DEFAULT_COMBINER, CombinerConfig
+from ..utils.info import RC_ITERS, RC_OK, make_info
+from ..utils.lpnorms import lp_norm
+from . import tv2d
+
+
+def _prox_along(X, dim: int, lam, p: float, method: str = "pn"):
+    """Batched 1D prox along signal dim ``dim`` (1-based) of (B, *dims) X."""
+    axis = dim  # axis in the batched array (axis 0 is batch)
+    Xm = jnp.moveaxis(X, axis, -1)
+    lead = Xm.shape[:-1]
+    n = Xm.shape[-1]
+    Y2 = Xm.reshape(-1, n)
+    out = tv2d._prox1d(Y2, lam, p, method)
+    return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis)
+
+
+def _norm_along(X, dim: int, p: float):
+    """sum over fibers of ||D fiber||_p along signal dim ``dim`` (per batch)."""
+    Xm = jnp.moveaxis(X, dim, -1)
+    d = Xm[..., 1:] - Xm[..., :-1]
+    nrm = lp_norm(d, p)  # (..., fibers)
+    return jnp.sum(nrm.reshape(X.shape[0], -1), axis=-1)
+
+
+def tv_value(X, ws, ds: Sequence[int], ps):
+    """Generalized TV penalty value of a single (unbatched) tensor
+    (reference TVval, src/TVNDopt.cpp:524)."""
+    X = jnp.asarray(X)[None]
+    tot = 0.0
+    for w, d, p in zip(ws, ds, ps):
+        tot = tot + w * _norm_along(X, int(d), float(p))[0]
+    return tot
+
+
+def _mean_abs_change(x, x_last):
+    B = x.shape[0]
+    return jnp.mean(jnp.abs(x - x_last).reshape(B, -1), axis=-1)
+
+
+def _loop(body, init_state, x_of, cap, tol):
+    def full_body(carry):
+        state, x_last, delta, iters = carry
+        state = body(state)
+        x = x_of(state)
+        return state, x, _mean_abs_change(x, x_last), iters + 1
+
+    def cond(carry):
+        _, _, delta, iters = carry
+        return (iters < cap) & (jnp.max(delta) > tol)
+
+    x0 = x_of(init_state)
+    big = jnp.full((x0.shape[0],), jnp.inf, x0.dtype)
+    state, x, delta, iters = jax.lax.while_loop(
+        cond, full_body, (init_state, x0, big, jnp.int32(0)))
+    iters_b = jnp.broadcast_to(iters, delta.shape)
+    rc = jnp.where((iters_b >= cap) & (delta > tol), RC_ITERS, RC_OK).astype(jnp.int32)
+    return x_of(state), make_info(iters_b, delta, rc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ws", "ds", "ps", "max_iters", "method",
+                                    "inner_method", "cfg"))
+def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
+                  inner_method: str = "pn",
+                  cfg: CombinerConfig = DEFAULT_COMBINER):
+    """Batched generalized ND TV prox on (B, *signal_dims) stacks.
+
+    Args:
+        Y: (B, *dims) tensor stack.
+        ws: tuple of penalty weights.
+        ds: tuple of 1-based penalized dimensions.
+        ps: tuple of norm degrees.
+        method: 'pd' (Parallel Proximal Dykstra, default), 'pdr' (Parallel
+            Douglas-Rachford), or 'yang' (consensus ADMM).
+    """
+    Y = jnp.asarray(Y)
+    ws = tuple(float(w) for w in ws)
+    ds = tuple(int(d) for d in ds)
+    ps = tuple(float(p) for p in ps)
+    npen = len(ws)
+    tol = cfg.stop
+
+    def prox_i(i, V, scale):
+        return _prox_along(V, ds[i], ws[i] * scale, ps[i], inner_method)
+
+    if npen == 1:
+        x = prox_i(0, Y, 1.0)
+        B = Y.shape[0]
+        return x, make_info(jnp.zeros((B,), jnp.int32),
+                            jnp.zeros((B,), Y.dtype), jnp.zeros((B,), jnp.int32))
+
+    method = method.lower()
+    if method == "pd":
+        # Parallel Dykstra: z_i staging, lambda_i * npen rescale, mean combine
+        # (reference src/TVNDopt.cpp:100-101, 212-214).
+        cap = max_iters or cfg.max_iters_pd
+
+        def body(state):
+            x, zs = state
+            prox_out = [prox_i(i, zs[i], float(npen)) for i in range(npen)]
+            x_new = sum(prox_out) / npen
+            zs_new = tuple(x_new + zs[i] - prox_out[i] for i in range(npen))
+            return x_new, zs_new
+
+        init = (Y, tuple(Y for _ in range(npen)))
+        return _loop(body, init, lambda s: s[0], cap, tol)
+
+    if method == "pdr":
+        # Product-space Douglas-Rachford: each component prox carries 1/npen of
+        # the quadratic term (reference PDR_TV combination, src/TVNDopt.cpp:465-468).
+        cap = max_iters or cfg.max_iters_dr
+        gamma = 1.0
+        a = gamma / npen  # weight of the quadratic inside each component prox
+
+        def prox_g(i, v):
+            # prox of gamma*(f_i + ||.-Y||^2/(2 npen)) at v: the quadratic is
+            # split evenly across components so the diagonal recovers
+            # 0.5||x-Y||^2 + sum_i f_i(x) exactly.
+            t = (v + a * Y) / (1.0 + a)
+            return prox_i(i, t, gamma / (1.0 + a))
+
+        def body(state):
+            zs = state
+            x = sum(zs) / npen
+            ps_out = tuple(prox_g(i, 2.0 * x - zs[i]) for i in range(npen))
+            return tuple(zs[i] + ps_out[i] - x for i in range(npen))
+
+        init = tuple(Y for _ in range(npen))
+        return _loop(body, init, lambda zs: sum(zs) / npen, cap, tol)
+
+    if method == "yang":
+        # Consensus ADMM, rho = 10 (reference Yang2/Yang3).
+        cap = max_iters or cfg.max_iters_yang
+        rho = cfg.yang_rho
+
+        def body(state):
+            x, zs, us = state
+            zs_new, us_new = [], []
+            for i in range(npen):
+                z = prox_i(i, x + us[i], 1.0 / rho)
+                us_new.append(us[i] + x - z)
+                zs_new.append(z)
+            x_new = (Y + rho * sum(z - u for z, u in zip(zs_new, us_new))) / (
+                1.0 + npen * rho)
+            return x_new, tuple(zs_new), tuple(us_new)
+
+        zero = jnp.zeros_like(Y)
+        init = (Y, tuple(Y for _ in range(npen)), tuple(zero for _ in range(npen)))
+        return _loop(body, init, lambda s: s[0], cap, tol)
+
+    raise ValueError(f"Unknown ND method: {method!r}")
+
+
+def tvgen_dispatch(X, ws, ds, ps, max_iters: int = 0,
+                   cfg: CombinerConfig = DEFAULT_COMBINER):
+    """Unbatched generalized-TV entry with the intended (MATLAB) dispatch
+    (matlab/solveTVgen.cpp:90-97): 2D signal with both dims penalized ->
+    2D Douglas-Rachford; otherwise Parallel Proximal Dykstra.
+
+    Returns (x, info) for a single tensor.
+    """
+    X = jnp.asarray(X)
+    ws = tuple(float(w) for w in ws)
+    ds = tuple(int(d) for d in ds)
+    ps = tuple(float(p) for p in ps)
+    if X.ndim == 2 and len(ws) == 2 and set(ds) == {1, 2}:
+        # Both dims of a 2D signal: direct 2D splitting.
+        i_col = ds.index(1)
+        i_row = ds.index(2)
+        x, info = tv2d.tvp_2d_batched(X[None], ws[i_col], ws[i_row],
+                                      ps[i_col], ps[i_row], max_iters=max_iters,
+                                      cfg=cfg)
+        return x[0], info
+    x, info = tv_nd_batched(X[None], ws, ds, ps, max_iters=max_iters,
+                            method="pd", cfg=cfg)
+    return x[0], info

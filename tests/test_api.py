@@ -1,0 +1,87 @@
+"""Integration tests of the user-facing API surface (reference
+prox_tv/__init__.py signatures and defaults)."""
+import numpy as np
+
+import proxtv_tpu as ptv
+import oracles
+
+
+def test_tv1_1d_all_methods(rng):
+    x = rng.randn(40)
+    ref = oracles.tv1w_oracle(x, np.full(39, 0.8))
+    for m in ["classictautstring", "linearizedtautstring", "hybridtautstring",
+              "pn", "condat", "dp", "condattautstring", "kolmogorov"]:
+        out = ptv.tv1_1d(x, 0.8, method=m)
+        np.testing.assert_allclose(out, ref, atol=1e-3, err_msg=m)
+
+
+def test_tv1w_1d(rng):
+    x = rng.randn(30)
+    w = rng.rand(29)
+    ref = oracles.tv1w_oracle(x, w)
+    for m in ["tautstring", "pn", "dp"]:
+        np.testing.assert_allclose(ptv.tv1w_1d(x, w, method=m), ref, atol=1e-3,
+                                   err_msg=m)
+
+
+def test_tv2_1d(rng):
+    x = rng.randn(25)
+    ref = oracles.tv2_oracle(x, 1.1)
+    for m in ["ms", "pg", "mspg"]:
+        np.testing.assert_allclose(ptv.tv2_1d(x, 1.1, method=m), ref, atol=2e-3,
+                                   err_msg=m)
+
+
+def test_tvp_1d(rng):
+    x = rng.randn(20)
+    ref = oracles.tvp_oracle(x, 0.7, 1.8)
+    for m in ["gp", "fw", "gpfw", "ogp", "fista"]:
+        np.testing.assert_allclose(ptv.tvp_1d(x, 0.7, 1.8, method=m), ref,
+                                   atol=5e-3, err_msg=m)
+
+
+def test_tv1_2d_methods(rng):
+    X = rng.randn(10, 12)
+    base = ptv.tv1_2d(X, 0.4, max_iters=800)
+    for m in ["pd", "yang", "condat", "chambolle-pock", "kolmogorov"]:
+        out = ptv.tv1_2d(X, 0.4, method=m, max_iters=2500)
+        np.testing.assert_allclose(out, base, atol=2e-3, err_msg=m)
+
+
+def test_tv1w_2d(rng):
+    X = rng.randn(8, 9)
+    lam = 0.5
+    W_col = np.full((7, 9), lam)
+    W_row = np.full((8, 8), lam)
+    xw = ptv.tv1w_2d(X, W_col, W_row, max_iters=400)
+    xu = ptv.tv1_2d(X, lam, max_iters=400)
+    np.testing.assert_allclose(xw, xu, atol=1e-5)
+
+
+def test_tvgen_and_value(rng):
+    X = rng.randn(9, 8)
+    out = ptv.tvgen(X, [0.4, 0.4], [1, 2], [1, 1], max_iters=400)
+    base = ptv.tv1_2d(X, 0.4, max_iters=400)
+    np.testing.assert_allclose(out, base, atol=2e-3)
+    v = ptv.tv_value(X, [1.0], [1], [1.0])
+    np.testing.assert_allclose(v, np.abs(np.diff(X, axis=0)).sum(), rtol=1e-10)
+
+
+def test_return_info(rng):
+    x = rng.randn(15)
+    out, info = ptv.tv1_1d(x, 0.5, method="pn", return_info=True)
+    assert hasattr(info, "iters") and hasattr(info, "gap") and hasattr(info, "rc")
+    out2, info2 = ptv.tv1_2d(rng.randn(6, 7), 0.3, return_info=True)
+    assert int(np.asarray(info2.iters)[0]) >= 1
+
+
+def test_tvgen_nd_methods(rng):
+    X = rng.randn(6, 5, 4)
+    a = ptv.tvgen_nd(X, [0.3, 0.3, 0.3], [1, 2, 3], [1, 1, 1], max_iters=300,
+                     method="pd")
+    b = ptv.tvgen_nd(X, [0.3, 0.3, 0.3], [1, 2, 3], [1, 1, 1], max_iters=300,
+                     method="pdr")
+    c = ptv.tvgen_nd(X, [0.3, 0.3, 0.3], [1, 2, 3], [1, 1, 1], max_iters=300,
+                     method="yang")
+    np.testing.assert_allclose(a, b, atol=2e-3)
+    np.testing.assert_allclose(a, c, atol=2e-3)
