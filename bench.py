@@ -1,0 +1,190 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: 2D TV-L1 denoise throughput (megapixels/s) on a 1024x1024 image at
+the reference's own convergence contract, vs the reference C implementation
+(albarji/proxTV DR2_TV, 35 Douglas-Rachford sweeps) measured on this host's
+CPU.  The reference baseline is re-measured when possible (compiled from
+/root/reference into /tmp) and cached in bench_baseline.json; otherwise the
+cached value is used.
+
+Secondary numbers (batched 1D throughput etc.) are printed to stderr.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "bench_baseline.json")
+
+M = N = 1024
+LAM = 0.3
+B1, N1 = 10000, 1000
+LAM1 = 0.7
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Reference CPU baseline (compiled from /root/reference, cached)
+# ---------------------------------------------------------------------------
+
+
+def _build_reference():
+    lib = "/tmp/proxtv_ref_bench/libproxtv_ref.so"
+    if os.path.exists(lib):
+        return lib
+    os.makedirs(os.path.dirname(lib), exist_ok=True)
+    src = "/root/reference/src"
+    if not os.path.isdir(src):
+        return None
+    cmd = (f"g++ -O3 -march=native -fopenmp -DNOMATLAB=1 -shared -fPIC "
+           f"{src}/*.cpp -o {lib} -l:liblapack.so.3 -l:libblas.so.3")
+    try:
+        subprocess.run(cmd, shell=True, check=True, capture_output=True,
+                       timeout=600)
+        return lib
+    except Exception as e:  # noqa: BLE001
+        log("reference build failed:", e)
+        return None
+
+
+def measure_reference():
+    import ctypes
+
+    libpath = _build_reference()
+    if libpath is None:
+        return None
+    lib = ctypes.CDLL(libpath)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.DR2_TV.restype = ctypes.c_int
+    lib.DR2_TV.argtypes = [ctypes.c_size_t, ctypes.c_size_t, pd,
+                           ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                           ctypes.c_double, pd, ctypes.c_int, ctypes.c_int, pd]
+    lib.hybridTautString_TV1.restype = None
+    lib.hybridTautString_TV1.argtypes = [pd, ctypes.c_int, ctypes.c_double, pd]
+
+    rng = np.random.RandomState(0)
+    Y = np.ascontiguousarray(rng.randn(M, N))
+    X = np.zeros_like(Y)
+    info = np.zeros(3)
+    nthreads = os.cpu_count() or 1
+    t0 = time.time()
+    lib.DR2_TV(M, N, Y.ctypes.data_as(pd), LAM, LAM, 1.0, 1.0,
+               X.ctypes.data_as(pd), nthreads, 35, info.ctypes.data_as(pd))
+    t_2d = time.time() - t0
+    obj_2d = (0.5 * np.sum((X - Y) ** 2)
+              + LAM * (np.abs(np.diff(X, axis=0)).sum()
+                       + np.abs(np.diff(X, axis=1)).sum()))
+
+    Y1 = rng.randn(B1, N1)
+    X1 = np.zeros_like(Y1)
+    t0 = time.time()
+    for k in range(B1):
+        lib.hybridTautString_TV1(Y1[k].ctypes.data_as(pd), N1, LAM1,
+                                 X1[k].ctypes.data_as(pd))
+    t_1d = time.time() - t0
+    return {
+        "ref_2d_mpx_s": M * N / 1e6 / t_2d,
+        "ref_2d_obj": float(obj_2d),
+        "ref_1d_signals_s": B1 / t_1d,
+        "ref_threads": nthreads,
+    }
+
+
+def get_baseline():
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)
+    base = measure_reference()
+    if base is None:
+        # conservative fallback from a previous measurement on this host
+        base = {"ref_2d_mpx_s": 0.49, "ref_2d_obj": 416575.42,
+                "ref_1d_signals_s": 31004.0, "ref_threads": 1}
+    with open(CACHE, "w") as f:
+        json.dump(base, f)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# TPU measurements
+# ---------------------------------------------------------------------------
+
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from proxtv_tpu.models import tv2d
+    from proxtv_tpu.ops import tv1d_l1
+
+    rng = np.random.RandomState(0)
+    Y = jnp.asarray(rng.randn(1, M, N).astype(np.float32))
+    Yn = np.asarray(Y)[0]
+
+    reps = 5  # amortize the host->device dispatch latency of the tunnel
+
+    f2d = jax.jit(lambda Y: tv2d.tv1_2d_batched(
+        Y, LAM, method="kolmogorov", max_iters=2500)[0])
+    X = f2d(Y)
+    _ = np.asarray(X.ravel()[:1])  # warm/compile
+    t0 = time.time()
+    for _i in range(reps):
+        X = f2d(Y)
+    _ = np.asarray(X.ravel()[:1])
+    t_2d = (time.time() - t0) / reps
+    Xn = np.asarray(X)[0]
+    obj_2d = (0.5 * np.sum((Xn - Yn) ** 2)
+              + LAM * (np.abs(np.diff(Xn, axis=0)).sum()
+                       + np.abs(np.diff(Xn, axis=1)).sum()))
+
+    Y1 = jnp.asarray(rng.randn(B1, N1).astype(np.float32))
+    f1d = jax.jit(lambda Y: tv1d_l1.tv1_batched(Y, LAM1, method="pn"))
+    x1 = f1d(Y1)
+    _ = np.asarray(x1.ravel()[:1])
+    t0 = time.time()
+    for _i in range(reps):
+        x1 = f1d(Y1)
+    _ = np.asarray(x1.ravel()[:1])
+    t_1d = (time.time() - t0) / reps
+    return {
+        "tpu_2d_mpx_s": M * N / 1e6 / t_2d,
+        "tpu_2d_obj": float(obj_2d),
+        "tpu_1d_signals_s": B1 / t_1d,
+    }
+
+
+def main():
+    base = get_baseline()
+    ours = measure_tpu()
+    log("baseline:", base)
+    log("ours:", ours)
+    # Equal-quality guard: our objective must not exceed the reference's
+    # (both solve the same problem instance; lower = better converged).
+    obj_ok = ours["tpu_2d_obj"] <= base["ref_2d_obj"] * (1 + 1e-4)
+    log("objective check (ours <= ref):", obj_ok,
+        ours["tpu_2d_obj"], "vs", base["ref_2d_obj"])
+    vs = ours["tpu_2d_mpx_s"] / base["ref_2d_mpx_s"]
+    print(json.dumps({
+        "metric": "tv1_2d_denoise_1024px",
+        "value": round(ours["tpu_2d_mpx_s"], 3),
+        "unit": "Mpx/s",
+        "vs_baseline": round(vs, 2),
+        "extra": {
+            "tpu_1d_signals_s": round(ours["tpu_1d_signals_s"]),
+            "ref_1d_signals_s": round(base["ref_1d_signals_s"]),
+            "vs_baseline_1d": round(ours["tpu_1d_signals_s"]
+                                    / base["ref_1d_signals_s"], 2),
+            "objective_ok": bool(obj_ok),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

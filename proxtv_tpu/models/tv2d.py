@@ -10,6 +10,12 @@ runs OpenMP threads over fibers; here fibers are a *batch axis* — each
 row/column pass is ONE batched 1D prox call on a (B*fibers, len) array, the
 layout change handled by XLA transposes.
 
+All splitting engines carry the **dual warm-start state** of every fiber
+across outer iterations (the TPU analog of the reference's Workspace warm
+restart, src/utils.h:30-33): each row/col pass resumes its projected-Newton
+dual from the previous sweep, collapsing the inner iteration count after the
+first few sweeps.
+
 Engines (method-name strings match the reference Python layer,
 prox_tv/__init__.py:355-443):
 
@@ -26,12 +32,11 @@ prox_tv/__init__.py:355-443):
     with both difference operators dualized (reference
     ``CondatChambollePock2_TV``, src/TV2Dopt.cpp:587): sigma = 10,
     tau = 0.9/(8 sigma), theta = 1; Condat takes a gradient step on the
-    smooth term, CP a resolvent step, the accelerated variant updates
-    theta/tau/sigma using the 1-strong convexity of the quadratic.
+    smooth term, CP a resolvent step, the accelerated variant uses capped
+    Chambolle-Pock Alg.-2 steps (gamma = 1).
 *   ``kolmogorov`` — primal-dual with *exact column prox* (our batched 1D
-    solver) and dualized rows, with accelerated steps (reference
-    ``Kolmogorov2_TV``, src/TV2Dopt.cpp:907, which similarly keeps the column
-    subproblems exact via Moreau and adapts theta/tau/sigma :997-1000).
+    solver) and dualized rows (reference ``Kolmogorov2_TV``,
+    src/TV2Dopt.cpp:907, which similarly keeps column subproblems exact).
 
 Weighted 2D (reference ``DR2L1W_TV``, src/TV2DWopt.cpp:46) and general-norm 2D
 (reference DR2_TV with p arguments) use the same drivers with per-edge-weight /
@@ -40,7 +45,6 @@ Lp 1D proxes.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,10 +58,38 @@ from ..utils.info import RC_ITERS, RC_OK, make_info
 # ---------------------------------------------------------------------------
 
 
+def _fused_ok(Y2, p, method):
+    """Route to the fused Pallas PN kernel on TPU (f32, moderate n)."""
+    return (p == 1.0 and method == "pn" and Y2.dtype == jnp.float32
+            and 2 <= Y2.shape[-1] <= 8192
+            and jax.default_backend() == "tpu")
+
+
+def _fused_tb(n):
+    # ~45 live (tb, n_pad) f32 arrays must fit the ~16 MB VMEM.
+    n_pad = -(-n // 128) * 128
+    return int(max(8, min(64, (14 << 20) // (180 * n_pad))))
+
+
+def _lam_padded(lam, K, n, dtype):
+    """Penalty as a (K, n) array with a zero final column (fused-kernel layout)."""
+    lam = jnp.asarray(lam, dtype)
+    if lam.ndim == 2:  # (K, n-1) per-edge weights
+        return jnp.concatenate([lam, jnp.zeros((K, 1), dtype)], axis=-1)
+    body = jnp.broadcast_to(lam.reshape(-1, 1) if lam.ndim else lam, (K, n - 1))
+    return jnp.concatenate([body, jnp.zeros((K, 1), dtype)], axis=-1)
+
+
 def _prox1d(Y2, lam, p: float, method: str):
-    """Batched 1D prox on (K, n) with penalty lam (scalar or (K, n-1)) and norm p."""
+    """Batched 1D prox on (K, n) with penalty lam (scalar or (K, n-1)), norm p."""
     if p == 1.0:
         if method == "pn":
+            if _fused_ok(Y2, p, method):
+                from ..ops.kernels import pn_fused
+                K, n = Y2.shape
+                lam_full = _lam_padded(lam, K, n, Y2.dtype)
+                x, _ = pn_fused.pn_tv1_fused(Y2, lam_full, tb=_fused_tb(n))
+                return x
             return tv1d_l1.tv1_pn(Y2, lam)[0]
         return tv1d_l1.tv1_batched(Y2, lam, method=method)
     if p == 2.0:
@@ -65,19 +97,35 @@ def _prox1d(Y2, lam, p: float, method: str):
     return tv1d_lp.tvp_batched(Y2, lam, p, method="gpfw")[0]
 
 
+def _prox1d_ws(Y2, lam, p: float, method: str, w0):
+    """Stateful variant: returns (x, dual).  Warm start is supported by the
+    projected-Newton L1 engine; other engines ignore/pass the state through."""
+    if p == 1.0 and method == "pn":
+        if _fused_ok(Y2, p, method):
+            from ..ops.kernels import pn_fused
+            K, n = Y2.shape
+            lam_full = _lam_padded(lam, K, n, Y2.dtype)
+            w0p = jnp.concatenate([w0, jnp.zeros((K, 1), Y2.dtype)], axis=-1)
+            x, w = pn_fused.pn_tv1_fused(Y2, lam_full, w_init=w0p,
+                                         tb=_fused_tb(n))
+            return x, w[:, :-1]
+        x, _, w = tv1d_l1.tv1_pn(Y2, lam, w_init=w0, return_dual=True)
+        return x, w
+    return _prox1d(Y2, lam, p, method), w0
+
+
 def prox_rows(X, lam, p: float = 1.0, method: str = "pn", w_edges=None):
-    """Apply the 1D prox along the last axis of (B, M, N): M*B independent rows.
+    """1D prox along the last axis of (B, M, N): B*M independent rows.
 
     ``w_edges``: optional per-edge weights of shape (B, M, N-1) (weighted TV).
     """
     B, M, N = X.shape
-    Y2 = X.reshape(B * M, N)
     lam2 = w_edges.reshape(B * M, N - 1) if w_edges is not None else lam
-    return _prox1d(Y2, lam2, p, method).reshape(B, M, N)
+    return _prox1d(X.reshape(B * M, N), lam2, p, method).reshape(B, M, N)
 
 
 def prox_cols(X, lam, p: float = 1.0, method: str = "pn", w_edges=None):
-    """Apply the 1D prox along the middle axis of (B, M, N): N*B column fibers.
+    """1D prox along the middle axis of (B, M, N): B*N column fibers.
 
     ``w_edges``: optional per-edge weights of shape (B, M-1, N).
     """
@@ -87,6 +135,30 @@ def prox_cols(X, lam, p: float = 1.0, method: str = "pn", w_edges=None):
             if w_edges is not None else lam)
     out = _prox1d(Xt, lam2, p, method)
     return jnp.swapaxes(out.reshape(B, N, M), 1, 2)
+
+
+def _make_row_prox(B, M, N, lam, p, method, w_edges, dtype):
+    """Stateful row-pass closure: (V, state) -> (X, state)."""
+    lam2 = w_edges.reshape(B * M, N - 1) if w_edges is not None else lam
+
+    def prox(V, s):
+        out, s2 = _prox1d_ws(V.reshape(B * M, N), lam2, p, method, s)
+        return out.reshape(B, M, N), s2
+
+    return prox, jnp.zeros((B * M, N - 1), dtype)
+
+
+def _make_col_prox(B, M, N, lam, p, method, w_edges, dtype):
+    """Stateful column-pass closure: (V, state) -> (X, state)."""
+    lam2 = (jnp.swapaxes(w_edges, 1, 2).reshape(B * N, M - 1)
+            if w_edges is not None else lam)
+
+    def prox(V, s):
+        Vt = jnp.swapaxes(V, 1, 2).reshape(B * N, M)
+        out, s2 = _prox1d_ws(Vt, lam2, p, method, s)
+        return jnp.swapaxes(out.reshape(B, N, M), 1, 2), s2
+
+    return prox, jnp.zeros((B * N, M - 1), dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -155,56 +227,54 @@ def _loop(body, init_state, x_of, cap, tol):
 # -- Proximal Dykstra (reference PD2_TV) ------------------------------------
 
 
-def _run_pd(Y, prox1, prox2, cap, tol):
+def _run_pd(Y, prox1, s1_0, prox2, s2_0, cap, tol):
     def body(state):
-        x, p, q = state
-        xp = prox1(x + p)
+        x, p, q, s1, s2 = state
+        xp, s1 = prox1(x + p, s1)
         p = x + p - xp
-        x = prox2(xp + q)
+        x, s2 = prox2(xp + q, s2)
         q = xp + q - x
-        return x, p, q
+        return x, p, q, s1, s2
 
     z = jnp.zeros_like(Y)
-    return _loop(body, (Y, z, z), lambda s: s[0], cap, tol)
+    return _loop(body, (Y, z, z, s1_0, s2_0), lambda s: s[0], cap, tol)
 
 
 # -- Davis-Yin three-operator splitting (reference DR2_TV role) -------------
 
 
-def _run_dr(Y, prox1, prox2, cap, tol, gamma=1.0):
+def _run_dr(Y, prox1, s1_0, prox2, s2_0, cap, tol, gamma=1.0):
     """Fixed point: x* = prox of (f1 + f2 + 0.5||.-Y||^2); smooth term handled
-    by its gradient (x - Y), proxes of f1/f2 scaled by gamma."""
+    by its gradient (x - Y), proxes of f1/f2 scaled by gamma (= 1 here)."""
 
     def body(state):
-        z, _ = state
-        xb = prox1(z)
+        z, _, s1, s2 = state
+        xb, s1 = prox1(z, s1)
         zh = 2.0 * xb - z - gamma * (xb - Y)
-        xa = prox2(zh)
+        xa, s2 = prox2(zh, s2)
         z = z + xa - xb
-        return z, xb
+        return z, xb, s1, s2
 
-    # Report the constraint-feasible iterate prox1(z) (carried in state to
-    # avoid recomputing the column pass for the stopping check).
-    return _loop(body, (Y, Y), lambda s: s[1], cap, tol)
+    return _loop(body, (Y, Y, s1_0, s2_0), lambda s: s[1], cap, tol)
 
 
 # -- Consensus ADMM (reference Yang2_TV) ------------------------------------
 
 
-def _run_yang(Y, prox1, prox2, cap, tol, rho):
+def _run_yang(Y, prox1, s1_0, prox2, s2_0, cap, tol, rho):
     def body(state):
-        x, z1, z2, u1, u2 = state
+        x, z1, z2, u1, u2, s1, s2 = state
         # Rotated ADMM sweep (z,u first): starting at the z-step makes the
         # first iterate move, so the mean-change stopping test is meaningful.
-        z1 = prox1(x + u1)
-        z2 = prox2(x + u2)
+        z1, s1 = prox1(x + u1, s1)
+        z2, s2 = prox2(x + u2, s2)
         u1 = u1 + x - z1
         u2 = u2 + x - z2
         x = (Y + rho * (z1 - u1) + rho * (z2 - u2)) / (1.0 + 2.0 * rho)
-        return x, z1, z2, u1, u2
+        return x, z1, z2, u1, u2, s1, s2
 
-    return _loop(body, (Y, Y, Y, jnp.zeros_like(Y), jnp.zeros_like(Y)),
-                 lambda s: s[0], cap, tol)
+    zero = jnp.zeros_like(Y)
+    return _loop(body, (Y, Y, Y, zero, zero, s1_0, s2_0), lambda s: s[0], cap, tol)
 
 
 # -- Primal-dual (reference CondatChambollePock2_TV) ------------------------
@@ -217,13 +287,10 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
     sigma0 = 1.0 if variant == "cp-acc" else cfg.cp_sigma
     tau0 = 0.9 / (8.0 * sigma0)
 
-    def clip_dual(u, lam):
-        return jnp.clip(u, -lam, lam)
-
     def body(state):
-        x, xbar, u1, u2, tau, sigma, theta = state
-        u1 = clip_dual(u1 + sigma * _drow(xbar), w_row)
-        u2 = clip_dual(u2 + sigma * _dcol(xbar), w_col)
+        x, xbar, u1, u2, tau, sigma = state
+        u1 = jnp.clip(u1 + sigma * _drow(xbar), -w_row, w_row)
+        u2 = jnp.clip(u2 + sigma * _dcol(xbar), -w_col, w_col)
         div = _drow_t(u1) + _dcol_t(u2)
         if variant == "condat":
             x_new = x - tau * ((x - Y) + div)
@@ -241,12 +308,11 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
             theta = jnp.asarray(1.0, Y.dtype)
             tau_n, sigma_n = tau, sigma
         xbar = x_new + theta * (x_new - x)
-        return x_new, xbar, u1, u2, tau_n, sigma_n, theta
+        return x_new, xbar, u1, u2, tau_n, sigma_n
 
     z1 = jnp.zeros(Y.shape[:-1] + (Y.shape[-1] - 1,), Y.dtype)
     z2 = jnp.zeros((Y.shape[0], Y.shape[1] - 1, Y.shape[2]), Y.dtype)
-    init = (Y, Y, z1, z2, jnp.asarray(tau0, Y.dtype), jnp.asarray(sigma0, Y.dtype),
-            jnp.asarray(1.0, Y.dtype))
+    init = (Y, Y, z1, z2, jnp.asarray(tau0, Y.dtype), jnp.asarray(sigma0, Y.dtype))
     return _loop(body, init, lambda s: s[0], cap, tol)
 
 
@@ -256,31 +322,49 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
 def _run_kolmogorov(Y, w_row, w_col, cap, tol, inner_method: str):
     """PDHG with G(x) = 0.5||x-Y||^2 + w_col*colTV (proximable exactly via the
     batched 1D solver + Moreau scaling) and the row term dualized."""
+    B, M, N = Y.shape
     sigma0, tau0 = 1.0, 0.9 / (4.0 * 1.0)  # ||D_row||^2 <= 4
+    pcol, s0 = _make_col_prox(B, M, N, None, 1.0, inner_method, None, Y.dtype)
 
-    def prox_G(v, tau):
+    def prox_G(v, tau, s):
         # prox_{tau G}(v) = prox_{(tau w_col/(1+tau)) colTV}((v + tau Y)/(1+tau))
         t = (v + tau * Y) / (1.0 + tau)
-        return prox_cols(t, tau * w_col / (1.0 + tau), 1.0, inner_method)
+        Vt = jnp.swapaxes(t, 1, 2).reshape(B * N, M)
+        out, s = _prox1d_ws(Vt, tau * w_col / (1.0 + tau), 1.0, inner_method, s)
+        return jnp.swapaxes(out.reshape(B, N, M), 1, 2), s
 
     def body(state):
-        x, xbar, u, tau, sigma = state
-        u = jnp.clip(u + sigma * _drow(xbar), -w_row, w_row)
-        x_new = prox_G(x - tau * _drow_t(u), tau)
+        x, xbar, u, s = state
+        u = jnp.clip(u + sigma0 * _drow(xbar), -w_row, w_row)
+        x_new, s = prox_G(x - tau0 * _drow_t(u), tau0, s)
         # Fixed steps, theta = 1: with the exact column prox inside G this
-        # converges in a few dozen sweeps; the accelerated schedule's growing
-        # sigma slows the clipped row duals instead (see _run_pdhg cp-acc).
+        # converges in a few dozen sweeps.
         xbar = 2.0 * x_new - x
-        return x_new, xbar, u, tau, sigma
+        return x_new, xbar, u, s
 
-    z = jnp.zeros(Y.shape[:-1] + (Y.shape[-1] - 1,), Y.dtype)
-    init = (Y, Y, z, jnp.asarray(tau0, Y.dtype), jnp.asarray(sigma0, Y.dtype))
-    return _loop(body, init, lambda s: s[0], cap, tol)
+    z = jnp.zeros((B, M, N - 1), Y.dtype)
+    return _loop(body, (Y, Y, z, s0), lambda s: s[0], cap, tol)
 
 
 # ---------------------------------------------------------------------------
 # Public batched entry points
 # ---------------------------------------------------------------------------
+
+
+def _dispatch(Y, cfgs, method, max_iters, cfg):
+    """Shared splitting-method dispatch over stateful prox factories."""
+    (pcol, s1_0), (prow, s2_0) = cfgs
+    tol = cfg.stop
+    method = method.lower()
+    if method == "pd":
+        return _run_pd(Y, pcol, s1_0, prow, s2_0,
+                       max_iters or cfg.max_iters_pd, tol)
+    if method == "dr":
+        return _run_dr(Y, pcol, s1_0, prow, s2_0,
+                       max_iters or cfg.max_iters_dr, tol)
+    if method == "yang":
+        raise AssertionError("yang handled by caller (needs rho-scaled proxes)")
+    raise ValueError(f"Unknown 2D method: {method!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("method", "max_iters", "inner_method", "cfg"))
@@ -292,33 +376,21 @@ def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
     chambolle-pock-acc, kolmogorov (reference prox_tv/__init__.py:355-443).
     """
     Y = jnp.asarray(Y)
+    B, M, N = Y.shape
     lam = jnp.asarray(lam, Y.dtype)
     tol = cfg.stop
-
-    def pcol(V):
-        return prox_cols(V, lam, 1.0, inner_method)
-
-    def prow(V):
-        return prox_rows(V, lam, 1.0, inner_method)
-
     method = method.lower()
-    if method == "pd":
-        cap = max_iters or cfg.max_iters_pd
-        return _run_pd(Y, pcol, prow, cap, tol)
-    if method == "dr":
-        cap = max_iters or cfg.max_iters_dr
-        return _run_dr(Y, pcol, prow, cap, tol)
+
+    if method in ("pd", "dr"):
+        cfgs = (_make_col_prox(B, M, N, lam, 1.0, inner_method, None, Y.dtype),
+                _make_row_prox(B, M, N, lam, 1.0, inner_method, None, Y.dtype))
+        return _dispatch(Y, cfgs, method, max_iters, cfg)
     if method == "yang":
-        cap = max_iters or cfg.max_iters_yang
         rho = cfg.yang_rho
-
-        def pcol_r(V):
-            return prox_cols(V, lam / rho, 1.0, inner_method)
-
-        def prow_r(V):
-            return prox_rows(V, lam / rho, 1.0, inner_method)
-
-        return _run_yang(Y, pcol_r, prow_r, cap, tol, rho)
+        pcol, s1 = _make_col_prox(B, M, N, lam / rho, 1.0, inner_method, None, Y.dtype)
+        prow, s2 = _make_row_prox(B, M, N, lam / rho, 1.0, inner_method, None, Y.dtype)
+        return _run_yang(Y, pcol, s1, prow, s2,
+                         max_iters or cfg.max_iters_yang, tol, rho)
     if method in ("condat", "chambolle-pock", "chambolle-pock-acc"):
         cap = max_iters or cfg.max_iters_condat
         variant = {"condat": "condat", "chambolle-pock": "cp",
@@ -342,20 +414,10 @@ def tv1w_2d_batched(Y, W_col, W_row, max_iters: int = 0, method: str = "dr",
         W_row: (B, M, N-1) per-edge weights along rows.
     """
     Y = jnp.asarray(Y)
-
-    def pcol(V):
-        return prox_cols(V, None, 1.0, inner_method, w_edges=W_col)
-
-    def prow(V):
-        return prox_rows(V, None, 1.0, inner_method, w_edges=W_row)
-
-    tol = cfg.stop
-    method = method.lower()
-    if method == "pd":
-        cap = max_iters or cfg.max_iters_pd
-        return _run_pd(Y, pcol, prow, cap, tol)
-    cap = max_iters or cfg.max_iters_dr
-    return _run_dr(Y, pcol, prow, cap, tol)
+    B, M, N = Y.shape
+    cfgs = (_make_col_prox(B, M, N, None, 1.0, inner_method, W_col, Y.dtype),
+            _make_row_prox(B, M, N, None, 1.0, inner_method, W_row, Y.dtype))
+    return _dispatch(Y, cfgs, "pd" if method == "pd" else "dr", max_iters, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("p_col", "p_row", "max_iters", "cfg"))
@@ -363,14 +425,9 @@ def tvp_2d_batched(Y, w_col, w_row, p_col: float, p_row: float,
                    max_iters: int = 0, cfg: CombinerConfig = DEFAULT_COMBINER):
     """Batched general-norm 2D TV prox (reference DR2_TV with p args)."""
     Y = jnp.asarray(Y)
+    B, M, N = Y.shape
     w_col = jnp.asarray(w_col, Y.dtype)
     w_row = jnp.asarray(w_row, Y.dtype)
-
-    def pcol(V):
-        return prox_cols(V, w_col, p_col, "pn")
-
-    def prow(V):
-        return prox_rows(V, w_row, p_row, "pn")
-
-    cap = max_iters or cfg.max_iters_dr
-    return _run_dr(Y, pcol, prow, cap, cfg.stop)
+    cfgs = (_make_col_prox(B, M, N, w_col, p_col, "pn", None, Y.dtype),
+            _make_row_prox(B, M, N, w_row, p_row, "pn", None, Y.dtype))
+    return _dispatch(Y, cfgs, "dr", max_iters, cfg)

@@ -1,0 +1,250 @@
+"""Pallas TPU kernel: fully-fused batched projected-Newton TV-L1 prox.
+
+One kernel call = the ENTIRE weighted TV-L1 prox solve for a (TB, n) tile of
+fibers: unconstrained-dual init (or warm start), the Newton/active-set loop
+with masked parallel cyclic reduction, the projected line search, and the
+duality-gap stopping test — all on VMEM-resident values.  HBM traffic is one
+read of (y, lam, w_init) and one write of (x, w), ~50x less than the XLA
+composition in :func:`proxtv_tpu.ops.tv1d_l1.tv1_pn` (whose every sub-step
+round-trips HBM).  Each tile also stops as soon as *its own* lanes converge,
+instead of the global worst lane.
+
+Numerics mirror ``tv1_pn`` (reference ``PN_TV1`` / ``PN_TV1_Weighted``,
+src/TVL1opt.cpp:37, src/TVL1Wopt.cpp:37): same inactive-set rule, the same
+relative duality-gap stopping contract, a halving projected line search (the
+reference's interpolation rarely saves more than one trial), and the
+degenerate-regime guards.  The edge column n-1 is carried as a masked-out
+identity row so all arrays share the (TB, n) tile shape.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEF_TB = 64
+_EPS = 1e-10
+
+
+def _shift_right(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+
+def _shift_left(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([x[..., s:], pad], axis=-1)
+
+
+def _pcr_masked(m, d, n):
+    """Solve the m-masked second-difference system (identity on masked-out
+    rows, zero RHS there); m is a float 0/1 mask of active rows."""
+    b = -(m * _shift_right(m, 1, 0.0))
+    a = 1.0 + m
+    c = _shift_left(b, 1, 0.0)
+    d = m * d
+    steps = max(1, math.ceil(math.log2(n)))
+    for k in range(steps):
+        stride = 1 << k
+        if stride >= n:
+            break
+        am = _shift_right(a, stride, 1.0)
+        ap = _shift_left(a, stride, 1.0)
+        bm = _shift_right(b, stride, 0.0)
+        bp = _shift_left(b, stride, 0.0)
+        cm = _shift_right(c, stride, 0.0)
+        cp = _shift_left(c, stride, 0.0)
+        dm = _shift_right(d, stride, 0.0)
+        dp = _shift_left(d, stride, 0.0)
+        alpha = -b / am
+        beta = -c / ap
+        a = a + alpha * cm + beta * bp
+        d = d + alpha * dm + beta * dp
+        b = alpha * bm
+        c = beta * cp
+    return d / a
+
+
+def _rowsum(x):
+    # Row scalars are kept broadcast at full (TB, n) width: narrow (TB, 1)
+    # vregs inside while_loop bodies crash the Mosaic layout pass.
+    return jnp.broadcast_to(jnp.sum(x, axis=-1, keepdims=True), x.shape)
+
+
+def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
+    """n = true signal length; n_pad = lane-aligned tile width (mult. of 128).
+    Padded columns are carried as masked-out identity rows."""
+
+    def kernel(*refs):
+        if warm:
+            y_ref, lam_ref, w0_ref, x_ref, w_ref = refs
+        else:
+            y_ref, lam_ref, x_ref, w_ref = refs
+        y = y_ref[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        # valid-edge mask; the + 0*y forces a dense vreg layout — shifting an
+        # iota-derived (replicated-layout) vector crashes Mosaic.
+        v = (col < n - 1).astype(y.dtype) + 0.0 * y
+        lam = lam_ref[:] * v
+        dy = (_shift_left(y, 1, 0.0) - y) * v
+
+        if warm:
+            w = jnp.clip(w0_ref[:] * v, -lam, lam)
+        else:
+            w = jnp.clip(_pcr_masked(v, dy, n_pad), -lam, lam)
+
+        def primal(w):
+            return y + (w - _shift_right(w, 1, 0.0))
+
+        def grad(x):
+            return (x - _shift_left(x, 1, 0.0)) * v
+
+        x = primal(w)
+        g = grad(x)
+        fval = _rowsum(x * x) * 0.5
+        scale = jnp.maximum(1.0, _rowsum(y * y) * 0.5)
+        tol = stop_rel * scale
+        eps_f = jnp.maximum(_EPS, 10.0 * jnp.finfo(y.dtype).eps * scale)
+        eps_gap = jnp.maximum(_EPS, 50.0 * jnp.finfo(y.dtype).eps * scale)
+
+        def gap_of(w, g):
+            return jnp.abs(_rowsum(jnp.abs(g) * lam + w * g))
+
+        # NOTE: all row flags (running/found) are float 0/1 (TB, 1) arrays —
+        # boolean (TB, 1) while_loop state crashes the Mosaic layout pass.
+        def outer_body(state):
+            w, g, x, fval, gap, gap_prev, it, running = state
+            mI = (((w > -lam) & (w < lam))
+                  | ((w == -lam) & (g < -_EPS))
+                  | ((w == lam) & (g > _EPS)))
+            m = mI.astype(y.dtype) * v
+            any_inact = (_rowsum(m) > 0).astype(y.dtype)
+            d = _pcr_masked(m, g * m, n_pad) * m
+            gRd = _rowsum(g * d * m)
+
+            # Projected halving line search.
+            def ls_body(ls):
+                delta, found, best_w, best_x, best_f, k = ls
+                aux = jnp.where(m > 0, jnp.clip(w - delta * d, -lam, lam), w)
+                xn = primal(aux)
+                fn = _rowsum(xn * xn) * 0.5
+                improve = fval - fn
+                ok = ((improve >= sigma * delta * gRd)
+                      | (improve <= eps_f)).astype(y.dtype)
+                newly = ok * (1.0 - found)
+                best_w = jnp.where(newly > 0, aux, best_w)
+                best_x = jnp.where(newly > 0, xn, best_x)
+                best_f = jnp.where(newly > 0, fn, best_f)
+                found = jnp.maximum(found, ok)
+                return delta * 0.5, found, best_w, best_x, best_f, k + 1
+
+            def ls_cond(ls):
+                _, found, _, _, _, k = ls
+                return (jnp.min(found) < 1.0) & (k < max_armijo)
+
+            one = jnp.ones_like(fval)
+            found0 = jnp.zeros_like(fval)
+            _, _, w_new, x_new, f_new, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (one, found0, w, x, fval, jnp.int32(0)))
+
+            g_new = grad(x_new)
+            gap_new = gap_of(w_new, g_new)
+            act = running * any_inact
+            w = jnp.where(act > 0, w_new, w)
+            x = jnp.where(act > 0, x_new, x)
+            g = jnp.where(act > 0, g_new, g)
+            fval = jnp.where(act > 0, f_new, fval)
+            gap_prev_out = jnp.where(act > 0, gap, gap_prev)
+            gap = jnp.where(act > 0, gap_new, gap)
+            it = it + 1
+            running = (running * any_inact
+                       * (gap > tol).astype(y.dtype)
+                       * (jnp.abs(gap - gap_prev_out) > eps_gap).astype(y.dtype))
+            return w, g, x, fval, gap, gap_prev_out, it, running
+
+        def outer_cond(state):
+            *_, it, running = state
+            return (jnp.max(running) > 0) & (it < max_iters)
+
+        gap0 = gap_of(w, g)
+        running0 = (gap0 > tol).astype(y.dtype)
+        state = (w, g, x, fval, gap0, jnp.full_like(gap0, -jnp.inf),
+                 jnp.int32(0), running0)
+        w, g, x, *_ = jax.lax.while_loop(outer_cond, outer_body, state)
+
+        # Degenerate guards (see tv1d_l1._apply_degenerate_guards): zero
+        # penalty -> identity; enormous penalty -> mean.
+        lam_min = jnp.broadcast_to(
+            jnp.min(jnp.where(v > 0, lam, jnp.inf), axis=-1, keepdims=True),
+            y.shape)
+        dy_max = jnp.broadcast_to(
+            jnp.max(jnp.abs(dy), axis=-1, keepdims=True), y.shape)
+        allz = _rowsum(lam) <= 0
+        huge = lam_min >= (float(n) * float(n)) * dy_max
+        mean = _rowsum(y) / float(n)
+        x = jnp.where(huge, mean, x)
+        x = jnp.where(allz, y, x)
+        x_ref[:] = x
+        w_ref[:] = w * v
+
+    return kernel
+
+
+def _pad_rows(x, tb):
+    B = x.shape[0]
+    Bp = -(-B // tb) * tb
+    if Bp == B:
+        return x
+    return jnp.pad(x, ((0, Bp - B), (0, 0)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_iters", "max_armijo", "sigma",
+                                    "stop_rel", "tb"))
+def pn_tv1_fused(y, lam_full, w_init=None, max_iters: int = 100,
+                 max_armijo: int = 12, sigma: float = 0.05,
+                 stop_rel: float = 1e-6, tb: int = _DEF_TB):
+    """Fused batched TV-L1 projected-Newton prox.
+
+    Args:
+        y: (B, n) signals, float32.
+        lam_full: (B, n) per-edge weights padded with a zero final column
+            (column j weights edge (j, j+1); column n-1 is ignored).
+        w_init: optional (B, n) dual warm start (same padding).
+
+    Returns:
+        (x, w): solution and final dual, both (B, n).
+    """
+    B, n = y.shape
+    dtype = y.dtype
+    tb = min(tb, max(8, B))
+    grid = (-(-B // tb),)
+    n_pad = -(-n // 128) * 128  # lane-aligned width (partial vregs break Mosaic)
+
+    def pad2(a):
+        a = _pad_rows(a, tb)
+        if n_pad != n:
+            a = jnp.pad(a, ((0, 0), (0, n_pad - n)))
+        return a
+
+    y_p = pad2(y)
+    lam_p = pad2(lam_full)
+    spec = pl.BlockSpec((tb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct(y_p.shape, dtype),
+                 jax.ShapeDtypeStruct(y_p.shape, dtype))
+    kernel = _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel,
+                          warm=w_init is not None)
+    if w_init is not None:
+        w_p = pad2(w_init)
+        x, w = pl.pallas_call(kernel, grid=grid, in_specs=[spec] * 3,
+                              out_specs=(spec, spec), out_shape=out_shape)(
+            y_p, lam_p, w_p)
+    else:
+        x, w = pl.pallas_call(kernel, grid=grid, in_specs=[spec] * 2,
+                              out_specs=(spec, spec), out_shape=out_shape)(
+            y_p, lam_p)
+    return x[:B, :n], w[:B, :n]

@@ -98,17 +98,24 @@ def _apply_degenerate_guards(x, y, lamv):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tridiag_method"))
-def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr"):
+@functools.partial(jax.jit, static_argnames=("cfg", "tridiag_method", "return_dual"))
+def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
+           w_init=None, return_dual: bool = False):
     """Batched projected-Newton TV-L1 prox (weighted-capable).
 
     Args:
         y: (B, n) batch of signals.
         lam: scalar, (B,), or (B, n-1) nonnegative penalty weights.
         cfg: solver tolerances (defaults mirror the reference).
+        w_init: optional (B, n-1) dual warm start — the TPU analog of the
+            reference Workspace warm restart (src/utils.h:30-33,
+            src/TVL1opt.cpp:148-149); combiners carry each fiber's dual
+            across outer iterations.
+        return_dual: also return the final dual vector.
 
     Returns:
-        (x, info): (B, n) solution and per-signal :class:`SolverInfo`.
+        (x, info) or (x, info, w): (B, n) solution, per-signal
+        :class:`SolverInfo`, and optionally the (B, n-1) dual.
     """
     y = jnp.asarray(y)
     B, n = y.shape
@@ -117,17 +124,23 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr"):
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     if n == 1:
-        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
-                            jnp.zeros((B,), jnp.int32))
+        info1 = make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                          jnp.zeros((B,), jnp.int32))
+        if return_dual:
+            return y, info1, jnp.zeros((B, 0), dtype)
+        return y, info1
 
     lamv = _edge_weights(lam, B, n, dtype)
 
     dy = diffs.forward_diff(y)  # (B, n-1)
-    # Unconstrained dual solution: DD' w = Dy (reference src/TVL1opt.cpp:110-117).
-    w0 = tridiag.spd_second_difference_solve(dy, method=tridiag_method)
-    # If |w0| <= lam everywhere the unconstrained solution is feasible: x = mean(y)
-    # follows automatically since D(y + D'w0) = 0 (no special case needed).
-    w = jnp.clip(w0, -lamv, lamv)
+    if w_init is None:
+        # Unconstrained dual solution: DD' w = Dy (reference src/TVL1opt.cpp:110-117).
+        w0 = tridiag.spd_second_difference_solve(dy, method=tridiag_method)
+        # If |w0| <= lam everywhere the unconstrained solution is feasible: x = mean(y)
+        # follows automatically since D(y + D'w0) = 0 (no special case needed).
+        w = jnp.clip(w0, -lamv, lamv)
+    else:
+        w = jnp.clip(jnp.asarray(w_init, dtype), -lamv, lamv)
 
     x = diffs.dual2primal(w, y)
     g = diffs.primal2grad(x)
@@ -169,7 +182,8 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr"):
             improve = fval - f_new
             # Zero improvement: direction not useful -> accept and stop searching
             # (the reference breaks out of the search, src/TVL1opt.cpp:223-224).
-            no_improve = improve <= eps
+            # Threshold scaled to the dtype's resolution of fval.
+            no_improve = improve <= eps_f
             rhs = sigma * delta * gRd
             ok = improve >= rhs
 
@@ -235,25 +249,37 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr"):
         stop = jnp.where(act, stop_new, stop)
         iters = iters + act.astype(jnp.int32)
         # Lanes with no inactive constraints are finished (reference returns).
-        running = running & any_inactive & (stop > cfg.stop) & (
-            jnp.abs(stop - stop_prev_out) > eps)
+        running = running & any_inactive & (stop > tol) & (
+            jnp.abs(stop - stop_prev_out) > eps_gap)
         return w, g, x, fval, stop, stop_prev_out, iters, running
 
     def outer_cond(state):
         *_, iters, running = state
         return jnp.any(running) & (jnp.max(iters) < cfg.max_iters)
 
+    # Dtype-aware relative stopping: the reference's absolute gap 1e-6 assumes
+    # f64; in f32 it is unreachable and every solve would run to max_iters.
+    # Scale by the problem magnitude (0.5||y||^2 dominates the dual objective),
+    # floored at 1 so tiny problems keep the absolute contract.
+    scale = jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1))
+    tol = cfg.stop * scale
+    eps_gap = jnp.maximum(eps, 50.0 * jnp.finfo(dtype).eps * scale)
+    eps_f = jnp.maximum(eps, 10.0 * jnp.finfo(dtype).eps * scale)
+
     stop0 = _gap_tv1w(w, g, lamv)
-    running0 = stop0 > cfg.stop
+    running0 = stop0 > tol
     init = (w, g, x, fval, stop0, jnp.full((B,), -jnp.inf, dtype),
             jnp.zeros((B,), jnp.int32), running0)
     w, g, x, fval, stop, stop_prev, iters, running = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
     rc = jnp.where(iters >= cfg.max_iters, RC_ITERS,
-                   jnp.where((stop > cfg.stop) & (jnp.abs(stop - stop_prev) <= eps),
+                   jnp.where((stop > tol) & (jnp.abs(stop - stop_prev) <= eps_gap),
                              RC_STUCK, RC_OK)).astype(jnp.int32)
-    return x, make_info(iters, jnp.abs(stop), rc)
+    info = make_info(iters, jnp.abs(stop), rc)
+    if return_dual:
+        return x, info, w
+    return x, info
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +667,19 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     if method in ("dp", "kolmogorov", "johnson"):
         return tv1_dp(y, lam)
     if method == "pn":
+        y = jnp.asarray(y)
+        B, n = y.shape
+        if (y.dtype == jnp.float32 and 2 <= n <= 8192
+                and jax.default_backend() == "tpu"):
+            # Fused VMEM-resident Pallas solver (one HBM read/write).
+            from .kernels import pn_fused
+            lamv = _edge_weights(lam, B, n, y.dtype)
+            lam_full = jnp.concatenate(
+                [lamv, jnp.zeros((B, 1), y.dtype)], axis=-1)
+            n_pad = -(-n // 128) * 128
+            tb = int(max(8, min(64, (14 << 20) // (180 * n_pad))))
+            x, _ = pn_fused.pn_tv1_fused(y, lam_full, tb=tb)
+            return x
         x, _ = tv1_pn(y, lam, cfg=cfg)
         return x
     raise ValueError(f"Unknown TV-L1 method: {method!r}")

@@ -1,0 +1,9 @@
+"""Multi-chip sharded entry points over jax.sharding device meshes."""
+from .sharded import (  # noqa: F401
+    make_mesh,
+    tv1_1d_sharded,
+    tv2_1d_sharded,
+    tvp_1d_sharded,
+    tv1_2d_sharded,
+    tv_nd_sharded,
+)

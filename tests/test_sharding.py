@@ -1,0 +1,57 @@
+"""Sharding-invariance tests: a sharded solve must equal the single-device
+solve bitwise-to-tolerance (SURVEY.md §4's implication; the reference has no
+multi-device capability to test)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from proxtv_tpu import parallel
+from proxtv_tpu.models import tv2d
+from proxtv_tpu.ops import tv1d_l1
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_tv1_1d_sharding_invariance(rng):
+    mesh = parallel.make_mesh()
+    Y = rng.randn(16, 33)
+    lam = 0.7
+    x_single = np.asarray(tv1d_l1.tv1_batched(jnp.asarray(Y), lam))
+    x_shard = np.asarray(parallel.tv1_1d_sharded(Y, lam, mesh))
+    np.testing.assert_allclose(x_shard, x_single, atol=1e-12)
+
+
+def test_tv1_2d_batch_sharding_invariance(rng):
+    mesh = parallel.make_mesh()
+    Y = rng.randn(8, 12, 10)
+    x_single, _ = tv2d.tv1_2d_batched(jnp.asarray(Y), 0.4, max_iters=40)
+    x_shard, _ = parallel.tv1_2d_sharded(Y, 0.4, mesh, max_iters=40)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-10)
+
+
+def test_tv1_2d_fiber_sharding_invariance(rng):
+    """Single large image sharded along columns: fiber parallelism with GSPMD
+    all-to-alls between row/col passes."""
+    mesh = parallel.make_mesh()
+    Y = rng.randn(1, 16, 24)  # 24 columns over 8 devices
+    x_single, _ = tv2d.tv1_2d_batched(jnp.asarray(Y), 0.4, max_iters=40)
+    x_shard, _ = parallel.tv1_2d_sharded(Y, 0.4, mesh, max_iters=40,
+                                         shard_axis="cols")
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-10)
+
+
+def test_tv_nd_sharding_invariance(rng):
+    from proxtv_tpu.models import tvnd
+    mesh = parallel.make_mesh()
+    Y = rng.randn(8, 6, 5, 4)
+    ws, ds, ps = (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0)
+    x_single, _ = tvnd.tv_nd_batched(jnp.asarray(Y), ws, ds, ps, max_iters=20)
+    x_shard, _ = parallel.tv_nd_sharded(Y, ws, ds, ps, mesh, max_iters=20)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-10)
