@@ -45,16 +45,31 @@ _TV1_METHODS = {"classictautstring", "linearizedtautstring", "hybridtautstring",
                 "pn", "condat", "dp", "condattautstring", "kolmogorov"}
 
 
+_TAUTSTRING_METHODS = {"classictautstring", "linearizedtautstring",
+                       "hybridtautstring", "condat", "condattautstring"}
+
+
 def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
-           return_info=False):
+           return_info=False, backend="auto"):
     """1D TV-L1 prox: min_y 0.5||x-y||^2 + w * sum |y_{i+1} - y_i|.
 
     Reference: prox_tv/__init__.py:124-216.  Methods: classictautstring,
     linearizedtautstring, hybridtautstring (default), pn, condat, dp,
     condattautstring, kolmogorov.
+
+    ``backend='auto'`` routes single host signals with taut-string-family
+    methods to the native C++ engine (microsecond latency — a single short
+    signal pays tens of ms of TPU dispatch latency for microseconds of
+    compute); ``backend='tpu'`` forces the device path.
     """
     assert method in _TV1_METHODS, f"unknown method {method}"
     assert w >= 0
+    if backend == "auto" and method in _TAUTSTRING_METHODS and not return_info:
+        from .runtime import native
+
+        if native.available():
+            out = native.tv1_host(np.asarray(x, dtype=float).ravel(), float(w))
+            return out
     y = _as2d(x)
     if method == "pn":
         cfg = TV1Config(sigma=float(sigma))
@@ -65,12 +80,22 @@ def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
     return _ret(out, None, return_info)
 
 
-def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False):
+def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False,
+            backend="auto"):
     """Weighted 1D TV-L1 prox: min_y 0.5||x-y||^2 + sum_i w_i |y_{i+1} - y_i|.
 
     Reference: prox_tv/__init__.py:218-254.  Methods: tautstring (default), pn;
-    we additionally expose 'dp' (message passing).
+    we additionally expose 'dp' (message passing).  ``backend`` as in
+    :func:`tv1_1d`.
     """
+    if backend == "auto" and method == "tautstring" and not return_info:
+        from .runtime import native
+
+        if native.available():
+            wv = np.asarray(w, dtype=float).ravel()
+            xv = np.asarray(x, dtype=float).ravel()
+            assert wv.size == xv.size - 1 and (wv >= 0).all()
+            return native.tv1w_host(xv, wv)
     y = _as2d(x)
     wv = jnp.asarray(np.asarray(w, dtype=np.asarray(y).dtype)).reshape(1, -1)
     assert wv.shape[-1] == y.shape[-1] - 1

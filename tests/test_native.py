@@ -1,0 +1,52 @@
+"""Tests for the native host runtime (C++ taut string via ctypes)."""
+import numpy as np
+import pytest
+
+from proxtv_tpu.runtime import native
+import oracles
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native host lib unavailable")
+
+
+def test_tv1_host_matches_oracle(rng):
+    for n in [2, 3, 7, 50, 400]:
+        y = rng.randn(n) * 2
+        lam = float(rng.rand() + 0.2)
+        x = native.tv1_host(y, lam)
+        ref = oracles.tv1w_oracle(y, np.full(n - 1, lam))
+        np.testing.assert_allclose(x, ref, atol=1e-6, err_msg=str(n))
+
+
+def test_tv1w_host_matches_oracle(rng):
+    for n in [2, 5, 31, 200]:
+        y = rng.randn(n) * 2
+        w = rng.rand(n - 1) * 1.5
+        x = native.tv1w_host(y, w)
+        ref = oracles.tv1w_oracle(y, w)
+        np.testing.assert_allclose(x, ref, atol=1e-6, err_msg=str(n))
+
+
+def test_tv1_host_edge_cases(rng):
+    y = rng.randn(9)
+    np.testing.assert_allclose(native.tv1_host(y, 0.0), y, atol=1e-12)
+    np.testing.assert_allclose(native.tv1_host(y, 1e6), np.mean(y), atol=1e-8)
+    np.testing.assert_allclose(native.tv1_host(y[:1], 1.0), y[:1])
+
+
+def test_batch_host(rng):
+    Y = rng.randn(16, 64)
+    X = native.tv1_batch_host(Y, 0.5, n_threads=2)
+    for k in range(16):
+        np.testing.assert_allclose(X[k], native.tv1_host(Y[k], 0.5), atol=1e-12)
+
+
+def test_host_equals_jax_engines(rng):
+    """Cross-implementation agreement: native host vs the JAX lock-step scan."""
+    import jax.numpy as jnp
+    from proxtv_tpu.ops import tv1d_l1
+    Y = rng.randn(8, 40)
+    lam = 0.8
+    Xj = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(Y), lam))
+    for k in range(8):
+        np.testing.assert_allclose(native.tv1_host(Y[k], lam), Xj[k], atol=1e-8)
