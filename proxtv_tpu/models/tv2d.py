@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import tv1d_l1, tv1d_l2, tv1d_lp
+from ..utils import debug
 from ..utils.config import DEFAULT_COMBINER, CombinerConfig
 from ..utils.info import RC_ITERS, RC_OK, make_info
 
@@ -210,6 +211,8 @@ def _loop(body, init_state, x_of, cap, tol):
         state = body(state)
         x = x_of(state)
         delta = _mean_abs_change(x, x_last)
+        debug.dprint("combiner iter {i}: max mean-change {d}",
+                     i=iters + 1, d=jnp.max(delta))
         return state, x, delta, iters + 1
 
     def cond(carry):
