@@ -1,0 +1,104 @@
+"""Interpret-mode tests for the Pallas TPU kernels (run on CPU).
+
+The kernels' numerics are validated here via the Pallas interpreter; on-device
+behaviour is exercised by the driver's bench/verify runs on the real chip.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from proxtv_tpu.ops import tridiag
+import oracles
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    yield
+
+
+def test_pcr_kernel_plain(rng):
+    from proxtv_tpu.ops.kernels import pcr as K
+    B, n = 16, 64
+    d = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    x = np.asarray(K.pcr_spd_solve_pallas(d, tb=8))
+    ref = np.asarray(tridiag.spd_second_difference_solve(d, method="thomas"))
+    np.testing.assert_allclose(x, ref, atol=2e-3)
+
+
+def test_pcr_kernel_masked(rng):
+    from proxtv_tpu.ops.kernels import pcr as K
+    B, n = 12, 48
+    d = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, n) > 0.3)
+    x = np.asarray(K.pcr_spd_solve_pallas(d, mask=mask, tb=8))
+    ref = np.asarray(tridiag.spd_second_difference_solve(
+        d, mask=mask, method="thomas"))
+    np.testing.assert_allclose(x, ref, atol=2e-3)
+
+
+def test_pcr_kernel_shifted(rng):
+    from proxtv_tpu.ops.kernels import pcr as K
+    B, n = 8, 32
+    d = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    sh = jnp.asarray((rng.rand(B) + 0.5).astype(np.float32))
+    x = np.asarray(K.pcr_spd_solve_pallas(d, diag_shift=sh, tb=8))
+    ref = np.asarray(tridiag.spd_second_difference_solve(
+        d, diag_shift=sh[:, None], method="thomas"))
+    np.testing.assert_allclose(x, ref, atol=2e-3)
+
+
+def test_pn_fused_matches_oracle(rng):
+    from proxtv_tpu.ops.kernels import pn_fused as PF
+    B, n = 8, 30
+    Y = rng.randn(B, n).astype(np.float32) * 2
+    lam = 0.7
+    lam_full = jnp.concatenate(
+        [jnp.full((B, n - 1), lam, jnp.float32), jnp.zeros((B, 1), jnp.float32)],
+        axis=-1)
+    x, w = PF.pn_tv1_fused(jnp.asarray(Y), lam_full, tb=8)
+    x = np.asarray(x)
+    for k in range(B):
+        ref = oracles.tv1w_oracle(Y[k].astype(float), np.full(n - 1, lam))
+        np.testing.assert_allclose(x[k], ref, atol=1e-3)
+
+
+def test_pn_fused_weighted_and_warm(rng):
+    from proxtv_tpu.ops.kernels import pn_fused as PF
+    B, n = 6, 24
+    Y = rng.randn(B, n).astype(np.float32)
+    W = (rng.rand(B, n - 1) * 1.2).astype(np.float32)
+    lam_full = jnp.concatenate(
+        [jnp.asarray(W), jnp.zeros((B, 1), jnp.float32)], axis=-1)
+    x, w = PF.pn_tv1_fused(jnp.asarray(Y), lam_full, tb=8)
+    x = np.asarray(x)
+    for k in range(B):
+        ref = oracles.tv1w_oracle(Y[k].astype(float), W[k].astype(float))
+        np.testing.assert_allclose(x[k], ref, atol=1e-3)
+    # Warm start from the converged dual reproduces the solution.
+    x2, _ = PF.pn_tv1_fused(jnp.asarray(Y), lam_full, w_init=w, tb=8)
+    np.testing.assert_allclose(np.asarray(x2), x, atol=1e-3)
+
+
+def test_pn_fused_degenerate(rng):
+    from proxtv_tpu.ops.kernels import pn_fused as PF
+    B, n = 4, 16
+    Y = rng.randn(B, n).astype(np.float32)
+    zero = jnp.zeros((B, n), jnp.float32)
+    x, _ = PF.pn_tv1_fused(jnp.asarray(Y), zero, tb=8)
+    np.testing.assert_allclose(np.asarray(x), Y, atol=1e-6)
+    huge = jnp.concatenate(
+        [jnp.full((B, n - 1), 1e7, jnp.float32), jnp.zeros((B, 1), jnp.float32)],
+        axis=-1)
+    x, _ = PF.pn_tv1_fused(jnp.asarray(Y), huge, tb=8)
+    np.testing.assert_allclose(np.asarray(x), Y.mean(1, keepdims=True)
+                               * np.ones((1, n)), atol=1e-5)
