@@ -69,7 +69,8 @@ def _fused_ok(Y2, p, method):
 def _fused_tb(n):
     # ~45 live (tb, n_pad) f32 arrays must fit the ~16 MB VMEM.
     n_pad = -(-n // 128) * 128
-    return int(max(8, min(64, (14 << 20) // (180 * n_pad))))
+    tb = (14 << 20) // (180 * n_pad)
+    return int(max(8, min(64, (tb // 8) * 8)))
 
 
 def _lam_padded(lam, K, n, dtype):

@@ -113,7 +113,7 @@ def pcr_spd_solve_pallas(rhs, mask=None, diag_shift=None, tb: int = _DEF_TB):
     """
     B, n = rhs.shape
     dtype = rhs.dtype
-    tb = min(tb, max(8, B))
+    tb = max(8, (min(tb, max(8, B)) // 8) * 8)
     rhs_p, B0 = _pad_rows(rhs, tb)
     Bp = rhs_p.shape[0]
     grid = (Bp // tb,)

@@ -221,8 +221,8 @@ def pn_tv1_fused(y, lam_full, w_init=None, max_iters: int = 100,
     """
     B, n = y.shape
     dtype = y.dtype
-    tb = min(tb, max(8, B))
-    grid = (-(-B // tb),)
+    tb = max(8, (min(tb, max(8, B)) // 8) * 8)
+    grid = (-(-_pad_rows(y, tb).shape[0] // tb),)
     n_pad = -(-n // 128) * 128  # lane-aligned width (partial vregs break Mosaic)
 
     def pad2(a):

@@ -142,7 +142,7 @@ def spd_second_difference_solve(rhs, diag_shift=0.0, mask=None, method="pcr"):
             and 2 <= n <= 8192 and jax.default_backend() == "tpu"):
         from .kernels import pcr as pcr_kernels
 
-        tb = int(max(8, min(128, (2 << 20) // (4 * n))))
+        tb = int(max(8, min(128, ((2 << 20) // (4 * n) // 8) * 8)))
         shift = None
         if not (isinstance(diag_shift, (int, float)) and diag_shift == 0.0):
             shift = jnp.broadcast_to(jnp.asarray(diag_shift, dtype),

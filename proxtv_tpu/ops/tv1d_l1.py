@@ -677,7 +677,7 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
             lam_full = jnp.concatenate(
                 [lamv, jnp.zeros((B, 1), y.dtype)], axis=-1)
             n_pad = -(-n // 128) * 128
-            tb = int(max(8, min(64, (14 << 20) // (180 * n_pad))))
+            tb = int(max(8, min(64, ((14 << 20) // (180 * n_pad) // 8) * 8)))
             x, _ = pn_fused.pn_tv1_fused(y, lam_full, tb=tb)
             return x
         x, _ = tv1_pn(y, lam, cfg=cfg)
