@@ -131,7 +131,7 @@ def measure_tpu():
     reps = 5  # amortize the host->device dispatch latency of the tunnel
 
     f2d = jax.jit(lambda Y: tv2d.tv1_2d_batched(
-        Y, LAM, method="kolmogorov", max_iters=2500)[0])
+        Y, LAM, method="chambolle-pock-acc", max_iters=2500)[0])
     X = f2d(Y)
     _ = np.asarray(X.ravel()[:1])  # warm/compile
     t0 = time.time()

@@ -320,6 +320,81 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
     return _loop(body, init, lambda s: s[0], cap, tol)
 
 
+# -- Temporally-blocked fused PDHG (Pallas) ---------------------------------
+
+
+def _pdhg_fused_params(N):
+    """(k_steps, tm) so the kernel's live VMEM windows fit.  Empirically the
+    Mosaic allocator holds ~14 (win, N) f32 arrays live (5 scratch buffers +
+    fori_loop state double-buffers + stencil temporaries)."""
+    budget_rows = (12 << 20) // (14 * 4 * max(N, 128))
+    for k in (12, 8, 6, 4):
+        tm = ((budget_rows - 4 * k) // 8) * 8
+        if tm >= 8 * k:  # keep halo overhead under ~50%
+            return k, tm
+    return 2, max(8, ((budget_rows - 8) // 8) * 8)
+
+
+def _pdhg_fused_ok(Y, variant):
+    B, M, N = Y.shape
+    return (Y.dtype == jnp.float32 and jax.default_backend() == "tpu"
+            and N <= 8192 and M >= 16)
+
+
+def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str):
+    """Driver for the temporally-blocked PDHG kernel: stacks the image batch
+    vertically with decoupled (lam = 0) gap rows, runs K-iteration chunks with
+    a mean-change convergence test between chunks."""
+    from ..ops.kernels import pdhg_fused as PK
+
+    B, M, N = Y.shape
+    k_steps, tm = _pdhg_fused_params(N)
+    halo = 2 * k_steps
+    gap = 8
+    S = M + gap
+    Np = -(-N // 128) * 128
+    tiles = max(1, -(-(B * S) // tm))
+    Mp = tiles * tm + 2 * halo
+
+    sigma0 = 1.0 if variant == "cp-acc" else cfg.cp_sigma
+    tau0 = 0.9 / (8.0 * sigma0)
+
+    # Stack batch into one tall (Mp, Np) canvas.
+    Ytall = jnp.pad(Y, ((0, 0), (0, gap), (0, Np - N))).reshape(B * S, Np)
+    Ypad = jnp.pad(Ytall, ((halo, Mp - halo - B * S), (0, 0)))
+
+    cap_pad = -(-cap // k_steps) * k_steps
+    sched = PK.make_schedule(cap_pad, lam, sigma0, tau0, variant)
+
+    core = tiles * tm
+
+    def chunk_call(sd, x, xb, u1, u2):
+        return PK.pdhg_chunk(sd, x, xb, u1, u2, Ypad, k_steps=k_steps, tm=tm,
+                             n_valid=N, m_valid=M, stride=S, count=B,
+                             pad_top=halo, grad_step=(variant == "condat"))
+
+    def body(state):
+        x, xb, u1, u2, t, delta = state
+        sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
+        x2, xb2, u12, u22 = chunk_call(sd, x, xb, u1, u2)
+        d = jnp.mean(jnp.abs(x2[halo:halo + core] - x[halo:halo + core]))
+        return x2, xb2, u12, u22, t + k_steps, d / k_steps
+
+    def cond(state):
+        *_, t, delta = state
+        return (t < cap_pad) & (delta > tol)
+
+    zeros = jnp.zeros_like(Ypad)
+    init = (Ypad, Ypad, zeros, zeros, jnp.int32(0),
+            jnp.asarray(jnp.inf, Y.dtype))
+    x, xb, u1, u2, t, delta = jax.lax.while_loop(cond, body, init)
+
+    out = x[halo:halo + B * S].reshape(B, S, Np)[:, :M, :N]
+    iters = jnp.broadcast_to(t, (B,))
+    deltas = jnp.broadcast_to(delta, (B,))
+    return out, _make_info(iters, deltas, cap, tol)
+
+
 # -- Column-exact primal-dual (reference Kolmogorov2_TV) --------------------
 
 
@@ -399,6 +474,8 @@ def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
         cap = max_iters or cfg.max_iters_condat
         variant = {"condat": "condat", "chambolle-pock": "cp",
                    "chambolle-pock-acc": "cp-acc"}[method]
+        if _pdhg_fused_ok(Y, variant):
+            return _run_pdhg_fused(Y, lam, cap, tol, cfg, variant)
         return _run_pdhg(Y, lam, lam, cap, tol, cfg, variant)
     if method == "kolmogorov":
         cap = max_iters or cfg.max_iters_kolmogorov

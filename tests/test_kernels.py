@@ -102,3 +102,32 @@ def test_pn_fused_degenerate(rng):
     x, _ = PF.pn_tv1_fused(jnp.asarray(Y), huge, tb=8)
     np.testing.assert_allclose(np.asarray(x), Y.mean(1, keepdims=True)
                                * np.ones((1, n)), atol=1e-5)
+
+
+def test_pdhg_fused_matches_xla(rng):
+    """Temporally-blocked PDHG chunk kernel == the XLA PDHG loop."""
+    from proxtv_tpu.models import tv2d
+    from proxtv_tpu.utils.config import DEFAULT_COMBINER as cfg
+    import jax.numpy as jnp
+    B, M, N = 2, 20, 17
+    Y = jnp.asarray(rng.randn(B, M, N).astype(np.float32))
+    for variant in ["cp", "condat"]:
+        x_ref, _ = tv2d._run_pdhg(Y, jnp.float32(0.4), jnp.float32(0.4),
+                                  120, 1e-9, cfg, variant)
+        x_fus, _ = tv2d._run_pdhg_fused(Y, jnp.float32(0.4), 120, 1e-9, cfg,
+                                        variant)
+        np.testing.assert_allclose(np.asarray(x_fus), np.asarray(x_ref),
+                                   atol=1e-5, err_msg=variant)
+
+
+def test_pdhg_fused_accelerated(rng):
+    """cp-acc fused run converges to the exact-Dykstra solution."""
+    from proxtv_tpu.models import tv2d
+    from proxtv_tpu.utils.config import DEFAULT_COMBINER as cfg
+    import jax.numpy as jnp
+    Y = jnp.asarray(rng.randn(1, 16, 15).astype(np.float32))
+    x_acc, _ = tv2d._run_pdhg_fused(Y, jnp.float32(0.3), 2000, 1e-8, cfg,
+                                    "cp-acc")
+    x_pd, _ = tv2d.tv1_2d_batched(jnp.asarray(np.asarray(Y), jnp.float64),
+                                  0.3, method="pd", max_iters=800)
+    np.testing.assert_allclose(np.asarray(x_acc), np.asarray(x_pd), atol=2e-3)
