@@ -58,6 +58,24 @@ def _prox_along(X, dim: int, lam, p: float, method: str = "pn"):
     return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis)
 
 
+def _prox_along_ws(X, dim: int, lam, p: float, method: str, state):
+    """Stateful (dual warm-started) fiber prox along ``dim``; state is the
+    (fibers, len-1) dual array carried across combiner iterations."""
+    axis = dim
+    Xm = jnp.moveaxis(X, axis, -1)
+    lead = Xm.shape[:-1]
+    n = Xm.shape[-1]
+    Y2 = Xm.reshape(-1, n)
+    out, state = tv2d._prox1d_ws(Y2, lam, p, method, state)
+    return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis), state
+
+
+def _state_init(X, dim: int):
+    n = X.shape[dim]
+    fibers = X.size // n
+    return jnp.zeros((fibers, n - 1), X.dtype)
+
+
 def _norm_along(X, dim: int, p: float):
     """sum over fibers of ||D fiber||_p along signal dim ``dim`` (per batch)."""
     Xm = jnp.moveaxis(X, dim, -1)
@@ -124,15 +142,16 @@ def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
     npen = len(ws)
     tol = cfg.stop
 
-    def prox_i(i, V, scale):
-        return _prox_along(V, ds[i], ws[i] * scale, ps[i], inner_method)
+    def prox_i(i, V, scale, st):
+        return _prox_along_ws(V, ds[i], ws[i] * scale, ps[i], inner_method, st)
 
     if npen == 1:
-        x = prox_i(0, Y, 1.0)
+        x, _ = prox_i(0, Y, 1.0, _state_init(Y, ds[0]))
         B = Y.shape[0]
         return x, make_info(jnp.zeros((B,), jnp.int32),
                             jnp.zeros((B,), Y.dtype), jnp.zeros((B,), jnp.int32))
 
+    states0 = tuple(_state_init(Y, ds[i]) for i in range(npen))
     method = method.lower()
     if method == "pd":
         # Parallel Dykstra: z_i staging, lambda_i * npen rescale, mean combine
@@ -140,13 +159,14 @@ def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
         cap = max_iters or cfg.max_iters_pd
 
         def body(state):
-            x, zs = state
-            prox_out = [prox_i(i, zs[i], float(npen)) for i in range(npen)]
+            x, zs, sts = state
+            outs = [prox_i(i, zs[i], float(npen), sts[i]) for i in range(npen)]
+            prox_out = [o[0] for o in outs]
             x_new = sum(prox_out) / npen
             zs_new = tuple(x_new + zs[i] - prox_out[i] for i in range(npen))
-            return x_new, zs_new
+            return x_new, zs_new, tuple(o[1] for o in outs)
 
-        init = (Y, tuple(Y for _ in range(npen)))
+        init = (Y, tuple(Y for _ in range(npen)), states0)
         return _loop(body, init, lambda s: s[0], cap, tol)
 
     if method == "pdr":
@@ -156,21 +176,22 @@ def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
         gamma = 1.0
         a = gamma / npen  # weight of the quadratic inside each component prox
 
-        def prox_g(i, v):
+        def prox_g(i, v, st):
             # prox of gamma*(f_i + ||.-Y||^2/(2 npen)) at v: the quadratic is
             # split evenly across components so the diagonal recovers
             # 0.5||x-Y||^2 + sum_i f_i(x) exactly.
             t = (v + a * Y) / (1.0 + a)
-            return prox_i(i, t, gamma / (1.0 + a))
+            return prox_i(i, t, gamma / (1.0 + a), st)
 
         def body(state):
-            zs = state
+            zs, sts = state
             x = sum(zs) / npen
-            ps_out = tuple(prox_g(i, 2.0 * x - zs[i]) for i in range(npen))
-            return tuple(zs[i] + ps_out[i] - x for i in range(npen))
+            outs = [prox_g(i, 2.0 * x - zs[i], sts[i]) for i in range(npen)]
+            return (tuple(zs[i] + outs[i][0] - x for i in range(npen)),
+                    tuple(o[1] for o in outs))
 
-        init = tuple(Y for _ in range(npen))
-        return _loop(body, init, lambda zs: sum(zs) / npen, cap, tol)
+        init = (tuple(Y for _ in range(npen)), states0)
+        return _loop(body, init, lambda s: sum(s[0]) / npen, cap, tol)
 
     if method == "yang":
         # Consensus ADMM, rho = 10 (reference Yang2/Yang3).
@@ -178,18 +199,20 @@ def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
         rho = cfg.yang_rho
 
         def body(state):
-            x, zs, us = state
-            zs_new, us_new = [], []
+            x, zs, us, sts = state
+            zs_new, us_new, sts_new = [], [], []
             for i in range(npen):
-                z = prox_i(i, x + us[i], 1.0 / rho)
+                z, st = prox_i(i, x + us[i], 1.0 / rho, sts[i])
                 us_new.append(us[i] + x - z)
                 zs_new.append(z)
+                sts_new.append(st)
             x_new = (Y + rho * sum(z - u for z, u in zip(zs_new, us_new))) / (
                 1.0 + npen * rho)
-            return x_new, tuple(zs_new), tuple(us_new)
+            return x_new, tuple(zs_new), tuple(us_new), tuple(sts_new)
 
         zero = jnp.zeros_like(Y)
-        init = (Y, tuple(Y for _ in range(npen)), tuple(zero for _ in range(npen)))
+        init = (Y, tuple(Y for _ in range(npen)),
+                tuple(zero for _ in range(npen)), states0)
         return _loop(body, init, lambda s: s[0], cap, tol)
 
     raise ValueError(f"Unknown ND method: {method!r}")

@@ -107,7 +107,7 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
         g = grad(x)
         fval = _rowsum(x * x) * 0.5
         scale = jnp.maximum(1.0, _rowsum(y * y) * 0.5)
-        tol = stop_rel * scale
+        tol = jnp.maximum(stop_rel, 10.0 * jnp.finfo(y.dtype).eps * scale)
         eps_f = jnp.maximum(_EPS, 10.0 * jnp.finfo(y.dtype).eps * scale)
         eps_gap = jnp.maximum(_EPS, 50.0 * jnp.finfo(y.dtype).eps * scale)
 

@@ -262,7 +262,7 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
     # Scale by the problem magnitude (0.5||y||^2 dominates the dual objective),
     # floored at 1 so tiny problems keep the absolute contract.
     scale = jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1))
-    tol = cfg.stop * scale
+    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps * scale)
     eps_gap = jnp.maximum(eps, 50.0 * jnp.finfo(dtype).eps * scale)
     eps_f = jnp.maximum(eps, 10.0 * jnp.finfo(dtype).eps * scale)
 

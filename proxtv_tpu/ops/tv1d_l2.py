@@ -136,6 +136,11 @@ def tv2_pg(y, lam, cfg: TV2Config = DEFAULT_TV2, max_iters: int | None = None):
     dy = diffs.forward_diff(y)
     cap = int(max_iters) if max_iters else cfg.pg_max_iters
     step = jnp.asarray(cfg.pg_step, dtype)
+    # Reference-parity absolute tolerance with a dtype-achievability floor:
+    # in f64 tol == cfg.stop; in f32 the floor ~10*eps*||y||^2 prevents
+    # never-terminating loops on gaps the dtype cannot resolve.
+    scale = jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1))
+    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps * scale)
 
     def proj_ball(w):
         nrm = jnp.linalg.norm(w, axis=-1)
@@ -155,7 +160,7 @@ def tv2_pg(y, lam, cfg: TV2Config = DEFAULT_TV2, max_iters: int | None = None):
         w = jnp.where(running[:, None], w_new, w)
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
-        running = running & (gap > cfg.stop)
+        running = running & (gap > tol)
         return w, gap, iters, running
 
     def cond(state):
@@ -164,7 +169,7 @@ def tv2_pg(y, lam, cfg: TV2Config = DEFAULT_TV2, max_iters: int | None = None):
 
     w_init = jnp.zeros((B, n - 1), dtype)
     gap0 = _gap_tv2(w_init, diffs.primal2grad(y), lamv)
-    running0 = (gap0 > cfg.stop) & (lamv > 0)
+    running0 = (gap0 > tol) & (lamv > 0)
     w, gap, iters, running = jax.lax.while_loop(
         cond, body, (w_init, gap0, jnp.zeros((B,), jnp.int32), running0))
     x = diffs.dual2primal(w, y)
@@ -185,7 +190,9 @@ def tv2_mspg(y, lam, cfg: TV2Config = DEFAULT_TV2):
     B, _ = y.shape
     lamv = _lam_vec(lam, B, y.dtype)
     x_pg, info_pg = tv2_pg(y, lam, cfg=cfg, max_iters=cfg.mspg_pg_iters)
-    need_ms = info_pg.gap > cfg.stop
+    scale = jnp.maximum(1.0, 0.5 * jnp.sum(jnp.asarray(y) ** 2, axis=-1))
+    need_ms = info_pg.gap > jnp.maximum(
+        cfg.stop, 10.0 * jnp.finfo(jnp.asarray(y).dtype).eps * scale)
     x_ms, info_ms = tv2_ms(y, lam, cfg=cfg)
     x = jnp.where(need_ms[:, None], x_ms, x_pg)
     iters = info_pg.iters + jnp.where(need_ms, info_ms.iters, 0)

@@ -97,6 +97,9 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum):
                             jnp.zeros((B,), jnp.int32))
     cap = int(max_iters) if max_iters else cfg.max_iters
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
+    # Reference-parity tolerance with a dtype-achievability floor (see tv1d_l2).
+    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps
+                      * jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1)))
 
     if momentum == "ogp":
         # mu-strongly-convex momentum (reference OGP_TVp :436).
@@ -130,7 +133,7 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum):
         t = jnp.where(running, t_new, t)
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
-        running = running & (gap > cfg.stop)
+        running = running & (gap > tol)
         return w, z, t, gap, iters, running
 
     def cond(state):
@@ -140,7 +143,7 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum):
     w_init = proj(w0)
     x0 = diffs.dual2primal(w_init, y)
     gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
-    running0 = (gap0 > cfg.stop) & ~interior & ~zero_pen
+    running0 = (gap0 > tol) & ~interior & ~zero_pen
     t0 = jnp.ones((B,), dtype)
     w, _, _, gap, iters, running = jax.lax.while_loop(
         cond, body, (w_init, w_init, t0, gap0, jnp.zeros((B,), jnp.int32), running0))
@@ -186,6 +189,8 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
                             jnp.zeros((B,), jnp.int32))
     cap = int(max_iters) if max_iters else cfg.max_iters_fw
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
+    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps
+                      * jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1)))
 
     def proj(u):
         return lp.lp_ball_project(u, lamv, q)
@@ -209,7 +214,7 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
         # FW duality gap (-grad'd) is also a certificate; stop on either.
-        running = running & (gap > cfg.stop) & (fw_gap > cfg.stop)
+        running = running & (gap > tol) & (fw_gap > tol)
         return w, gap, iters, k + 1, running
 
     def cond(state):
@@ -219,7 +224,7 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
     w_init = proj(w0)
     x0 = diffs.dual2primal(w_init, y)
     gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
-    running0 = (gap0 > cfg.stop) & ~interior & ~zero_pen
+    running0 = (gap0 > tol) & ~interior & ~zero_pen
     w, gap, iters, _, running = jax.lax.while_loop(
         cond, body,
         (w_init, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1), running0))
