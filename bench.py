@@ -153,10 +153,37 @@ def measure_tpu():
         x1 = f1d(Y1)
     _ = np.asarray(x1.ravel()[:1])
     t_1d = (time.time() - t0) / reps
+
+    def timed(f, *args):
+        r = f(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+        t0 = time.time()
+        for _i in range(reps):
+            r = f(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+        return (time.time() - t0) / reps
+
+    # Secondary BASELINE configs: weighted 1D, TV-L2, TV-Lp, 3D video (Yang).
+    from proxtv_tpu.models import tvnd
+    from proxtv_tpu.ops import tv1d_l2, tv1d_lp
+
+    W1 = jnp.asarray((0.5 + rng.rand(B1, N1 - 1)).astype(np.float32))
+    t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_pn(Y, W)[0]), Y1, W1)
+    t_l2 = timed(jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, 1.0)[0]), Y1)
+    t_lp = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 1.5)[0]),
+                 Y1[:512])
+    V = jnp.asarray(rng.randn(1, 32, 256, 256).astype(np.float32))
+    t_3d = timed(jax.jit(lambda V: tvnd.tv_nd_batched(
+        V, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0), method="yang")[0]), V)
+
     return {
         "tpu_2d_mpx_s": M * N / 1e6 / t_2d,
         "tpu_2d_obj": float(obj_2d),
         "tpu_1d_signals_s": B1 / t_1d,
+        "tpu_1dw_signals_s": B1 / t_1dw,
+        "tpu_l2_signals_s": B1 / t_l2,
+        "tpu_lp_signals_s": 512 / t_lp,
+        "tpu_3d_mpx_s": 32 * 256 * 256 / 1e6 / t_3d,
     }
 
 
@@ -181,6 +208,10 @@ def main():
             "ref_1d_signals_s": round(base["ref_1d_signals_s"]),
             "vs_baseline_1d": round(ours["tpu_1d_signals_s"]
                                     / base["ref_1d_signals_s"], 2),
+            "tpu_1d_weighted_signals_s": round(ours["tpu_1dw_signals_s"]),
+            "tpu_tvl2_signals_s": round(ours["tpu_l2_signals_s"]),
+            "tpu_tvlp_p1.5_signals_s": round(ours["tpu_lp_signals_s"]),
+            "tpu_3d_yang_mpx_s": round(ours["tpu_3d_mpx_s"], 2),
             "objective_ok": bool(obj_ok),
         },
     }))

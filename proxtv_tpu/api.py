@@ -22,11 +22,11 @@ from .utils.config import TV1Config
 
 
 def _as2d(x, dtype=None):
+    """Coerce to a (1, n) float array (int inputs promoted — reference
+    force_float_* semantics, prox_tv/__init__.py:80-121)."""
     a = jnp.asarray(x, dtype=dtype)
-    if a.dtype in (jnp.int32, jnp.int64, jnp.int16, jnp.int8):
-        a = a.astype(jnp.float64 if jnp.float64 in (jnp.zeros(0).dtype, jnp.float64) else jnp.float32)
-    if a.dtype not in (jnp.float32, jnp.float64):
-        a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        a = a.astype(jnp.result_type(jnp.float32, jnp.zeros(0).dtype))
     return a.reshape(1, -1)
 
 
