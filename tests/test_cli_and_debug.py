@@ -36,3 +36,16 @@ def test_profile_ctx_noop(monkeypatch):
     monkeypatch.delenv("PROXTV_TPU_PROFILE", raising=False)
     with debug.profile_ctx("x"):
         pass
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from proxtv_tpu.utils import checkpoint as ckpt
+    state = {"w": jnp.asarray(rng.randn(4, 7)), "x": jnp.asarray(rng.randn(3))}
+    p = ckpt.save(str(tmp_path / "st"), state)
+    out = ckpt.restore(p, like=state)
+    if isinstance(out, dict):
+        np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(state["w"]))
+    else:
+        vals = {np.asarray(v).shape: np.asarray(v) for v in out}
+        np.testing.assert_allclose(vals[(4, 7)], np.asarray(state["w"]))
