@@ -341,10 +341,14 @@ def _pdhg_fused_ok(Y, variant):
             and N <= 8192 and M >= 16)
 
 
-def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str):
+def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
+                    W_col=None, W_row=None):
     """Driver for the temporally-blocked PDHG kernel: stacks the image batch
     vertically with decoupled (lam = 0) gap rows, runs K-iteration chunks with
-    a mean-change convergence test between chunks."""
+    a mean-change convergence test between chunks.
+
+    ``W_col`` (B, M-1, N) / ``W_row`` (B, M, N-1): optional per-edge weight
+    fields (weighted anisotropic TV)."""
     from ..ops.kernels import pdhg_fused as PK
 
     B, M, N = Y.shape
@@ -359,9 +363,20 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str):
     sigma0 = 1.0 if variant == "cp-acc" else cfg.cp_sigma
     tau0 = 0.9 / (8.0 * sigma0)
 
-    # Stack batch into one tall (Mp, Np) canvas.
-    Ytall = jnp.pad(Y, ((0, 0), (0, gap), (0, Np - N))).reshape(B * S, Np)
-    Ypad = jnp.pad(Ytall, ((halo, Mp - halo - B * S), (0, 0)))
+    def canvas(A):
+        """(B, rows<=M, cols<=N) field -> tall padded (Mp, Np) canvas."""
+        b, rows, cols = A.shape
+        A = jnp.pad(A, ((0, 0), (0, S - rows), (0, Np - cols)))
+        return jnp.pad(A.reshape(B * S, Np), ((halo, Mp - halo - B * S), (0, 0)))
+
+    Ypad = canvas(Y)
+    weighted = W_row is not None
+    if weighted:
+        wr = canvas(jnp.asarray(W_row, Y.dtype))
+        wc = canvas(jnp.asarray(W_col, Y.dtype))
+        lam = jnp.asarray(1.0, Y.dtype)  # schedule lam column unused
+    else:
+        wr = wc = None
 
     cap_pad = -(-cap // k_steps) * k_steps
     sched = PK.make_schedule(cap_pad, lam, sigma0, tau0, variant)
@@ -371,7 +386,8 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str):
     def chunk_call(sd, x, xb, u1, u2):
         return PK.pdhg_chunk(sd, x, xb, u1, u2, Ypad, k_steps=k_steps, tm=tm,
                              n_valid=N, m_valid=M, stride=S, count=B,
-                             pad_top=halo, grad_step=(variant == "condat"))
+                             pad_top=halo, grad_step=(variant == "condat"),
+                             wr=wr, wc=wc)
 
     def body(state):
         x, xb, u1, u2, t, delta = state
@@ -496,6 +512,16 @@ def tv1w_2d_batched(Y, W_col, W_row, max_iters: int = 0, method: str = "dr",
     """
     Y = jnp.asarray(Y)
     B, M, N = Y.shape
+    method = method.lower()
+    if method in ("condat", "chambolle-pock", "chambolle-pock-acc"):
+        variant = {"condat": "condat", "chambolle-pock": "cp",
+                   "chambolle-pock-acc": "cp-acc"}[method]
+        if _pdhg_fused_ok(Y, variant):
+            cap = max_iters or cfg.max_iters_condat
+            return _run_pdhg_fused(Y, 0.0, cap, cfg.stop, cfg, variant,
+                                   W_col=W_col, W_row=W_row)
+        raise ValueError("weighted primal-dual requires the TPU fused path; "
+                         "use method='dr' or 'pd'")
     cfgs = (_make_col_prox(B, M, N, None, 1.0, inner_method, W_col, Y.dtype),
             _make_row_prox(B, M, N, None, 1.0, inner_method, W_row, Y.dtype))
     return _dispatch(Y, cfgs, "pd" if method == "pd" else "dr", max_iters, cfg)

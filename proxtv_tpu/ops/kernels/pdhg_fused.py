@@ -68,30 +68,42 @@ def _dcol_t(U):
 
 
 def _make_kernel(k_steps, tm, win, n, n_valid, m_valid, stride, count,
-                 pad_top, grad_step):
+                 pad_top, grad_step, weighted=False):
     """A batch of ``count`` images of ``m_valid`` rows is stacked vertically
     with period ``stride`` (gap rows carry lam = 0 and are exactly decoupled,
-    so one tall solve == independent per-image solves)."""
-    def kernel(sched_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm,
-               xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm):
+    so one tall solve == independent per-image solves).
+
+    ``weighted``: two extra (Mp, N) inputs carry per-edge weight fields
+    (zero at invalid edges — they subsume the validity masks)."""
+    def kernel(*refs):
+        if weighted:
+            (sched_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm, wr_hbm, wc_hbm,
+             xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm) = refs
+        else:
+            (sched_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm,
+             xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm) = refs
         i = pl.program_id(0)
         row0 = i * tm
 
-        def body(xs, xbs, u1s, u2s, ys, sems):
+        def body(*scratch):
+            bufs = list(scratch[:-1])
+            sems = scratch[-1]
             srcs = [x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm]
-            bufs = [xs, xbs, u1s, u2s, ys]
-            for s in range(5):
+            if weighted:
+                srcs += [wr_hbm, wc_hbm]
+            nin = len(srcs)
+            for s in range(nin):
                 pltpu.make_async_copy(srcs[s].at[pl.ds(row0, win)], bufs[s],
                                       sems.at[s]).start()
-            for s in range(5):
+            for s in range(nin):
                 pltpu.make_async_copy(srcs[s].at[pl.ds(row0, win)], bufs[s],
                                       sems.at[s]).wait()
 
-            x = xs[:]
-            xb = xbs[:]
-            u1 = u1s[:]
-            u2 = u2s[:]
-            y = ys[:]
+            x = bufs[0][:]
+            xb = bufs[1][:]
+            u1 = bufs[2][:]
+            u2 = bufs[3][:]
+            y = bufs[4][:]
 
             col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
             rowl = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
@@ -105,14 +117,21 @@ def _make_kernel(k_steps, tm, win, n, n_valid, m_valid, stride, count,
                   & (r < count * stride)).astype(x.dtype) + dense
             vc = ((q <= m_valid - 2) & (r >= 0) & (r < count * stride)
                   & (col < n_valid)).astype(x.dtype) + dense
+            if weighted:
+                wr = bufs[5][:] * vr
+                wc = bufs[6][:] * vc
 
             def step(k, carry):
                 x, xb, u1, u2 = carry
                 sigma = sched_ref[k, 0]
                 tau = sched_ref[k, 1]
                 theta = sched_ref[k, 2]
-                lamr = sched_ref[k, 3] * vr
-                lamc = sched_ref[k, 3] * vc
+                if weighted:
+                    lamr = wr
+                    lamc = wc
+                else:
+                    lamr = sched_ref[k, 3] * vr
+                    lamc = sched_ref[k, 3] * vc
                 # where(...) not clip-to-0: padding rows may hold NaN garbage
                 # (outputs are fresh buffers; pads are never written) and
                 # clip(NaN, 0, 0) is NaN — the select contains it exactly.
@@ -132,26 +151,27 @@ def _make_kernel(k_steps, tm, win, n, n_valid, m_valid, stride, count,
 
             x, xb, u1, u2 = jax.lax.fori_loop(0, k_steps, step,
                                               (x, xb, u1, u2))
-            xs[:] = x
-            xbs[:] = xb
-            u1s[:] = u1
-            u2s[:] = u2
+            bufs[0][:] = x
+            bufs[1][:] = xb
+            bufs[2][:] = u1
+            bufs[3][:] = u2
 
             h = (win - tm) // 2
             outs = [xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm]
             for s in range(4):
                 pltpu.make_async_copy(bufs[s].at[pl.ds(h, tm)],
                                       outs[s].at[pl.ds(row0 + h, tm)],
-                                      sems.at[5 + s]).start()
+                                      sems.at[nin + s]).start()
             for s in range(4):
                 pltpu.make_async_copy(bufs[s].at[pl.ds(h, tm)],
                                       outs[s].at[pl.ds(row0 + h, tm)],
-                                      sems.at[5 + s]).wait()
+                                      sems.at[nin + s]).wait()
 
+        n_bufs = 7 if weighted else 5
         pl.run_scoped(
             body,
-            *(pltpu.VMEM((win, n), jnp.float32) for _ in range(5)),
-            pltpu.SemaphoreType.DMA((9,)),
+            *(pltpu.VMEM((win, n), jnp.float32) for _ in range(n_bufs)),
+            pltpu.SemaphoreType.DMA((n_bufs + 4,)),
         )
 
     return kernel
@@ -189,14 +209,16 @@ def make_schedule(max_iters, lam, sigma0, tau0, variant):
                                     "stride", "count", "pad_top", "grad_step"))
 def pdhg_chunk(sched, x, xb, u1, u2, y, k_steps: int, tm: int,
                n_valid: int, m_valid: int, stride: int, count: int,
-               pad_top: int, grad_step: bool = False):
+               pad_top: int, grad_step: bool = False, wr=None, wc=None):
     """Run one K-iteration chunk over all row bands.  All state arrays are
-    (Mp, N) row-padded; ``sched`` is the (k_steps, 4) schedule slice."""
+    (Mp, N) row-padded; ``sched`` is the (k_steps, 4) schedule slice.
+    ``wr``/``wc``: optional (Mp, N) per-edge weight fields (weighted TV)."""
     Mp, N = x.shape
     win = tm + 2 * _halo(k_steps)
     grid = ((Mp - 2 * _halo(k_steps)) // tm,)
+    weighted = wr is not None
     kernel = _make_kernel(k_steps, tm, win, N, n_valid, m_valid, stride,
-                          count, pad_top, grad_step)
+                          count, pad_top, grad_step, weighted=weighted)
     out_shape = tuple(jax.ShapeDtypeStruct((Mp, N), jnp.float32)
                       for _ in range(4))
     # NOTE: outputs must NOT alias inputs — bands run sequentially and band
@@ -204,14 +226,16 @@ def pdhg_chunk(sched, x, xb, u1, u2, y, k_steps: int, tm: int,
     # Padding rows of the outputs are never written; the kernel's validity
     # masks keep any garbage there from contaminating the image.
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    args = (sched, x, xb, u1, u2, y) + ((wr, wc) if weighted else ())
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [any_spec] * (len(args) - 1),
         out_specs=(any_spec,) * 4,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(sched, x, xb, u1, u2, y)
+    )(*args)
 
 
 def plan_padding(M, k_steps=K_STEPS, tm=_TM):

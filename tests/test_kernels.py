@@ -131,3 +131,21 @@ def test_pdhg_fused_accelerated(rng):
     x_pd, _ = tv2d.tv1_2d_batched(jnp.asarray(np.asarray(Y), jnp.float64),
                                   0.3, method="pd", max_iters=800)
     np.testing.assert_allclose(np.asarray(x_acc), np.asarray(x_pd), atol=2e-3)
+
+
+def test_pdhg_fused_weighted(rng):
+    """Weighted fused PDHG == weighted Dykstra on uniform and varying fields."""
+    from proxtv_tpu.models import tv2d
+    from proxtv_tpu.utils.config import DEFAULT_COMBINER as cfg
+    import jax.numpy as jnp
+    B, M, N = 1, 18, 16
+    Y = jnp.asarray(rng.randn(B, M, N).astype(np.float32))
+    W_col = jnp.asarray((0.2 + 0.3 * rng.rand(B, M - 1, N)).astype(np.float32))
+    W_row = jnp.asarray((0.2 + 0.3 * rng.rand(B, M, N - 1)).astype(np.float32))
+    x_f, _ = tv2d._run_pdhg_fused(Y, 0.0, 3000, 1e-9, cfg, "cp-acc",
+                                  W_col=W_col, W_row=W_row)
+    x_r, _ = tv2d.tv1w_2d_batched(
+        jnp.asarray(np.asarray(Y), jnp.float64),
+        jnp.asarray(np.asarray(W_col), jnp.float64),
+        jnp.asarray(np.asarray(W_row), jnp.float64), max_iters=800, method="pd")
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r), atol=2e-3)
