@@ -236,17 +236,3 @@ def pdhg_chunk(sched, x, xb, u1, u2, y, k_steps: int, tm: int,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*args)
-
-
-def plan_padding(M, k_steps=K_STEPS, tm=_TM):
-    """Rows of top padding and total padded rows for an M-row image."""
-    halo = _halo(k_steps)
-    tiles = max(1, -(-M // tm))
-    core = tiles * tm
-    mp = core + 2 * halo
-    # ensure the valid image fits inside the core region
-    while core < M:
-        tiles += 1
-        core = tiles * tm
-        mp = core + 2 * halo
-    return halo, mp, tiles

@@ -19,8 +19,7 @@ axes, so they shard without modification.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

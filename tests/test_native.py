@@ -50,3 +50,21 @@ def test_host_equals_jax_engines(rng):
     Xj = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(Y), lam))
     for k in range(8):
         np.testing.assert_allclose(native.tv1_host(Y[k], lam), Xj[k], atol=1e-8)
+
+
+def test_fuzz_native_vs_jax_engines(rng):
+    """Cross-implementation fuzz: native C++ taut string vs all three JAX
+    engines on many random instances (sizes fixed per batch to bound compiles)."""
+    import jax.numpy as jnp
+    from proxtv_tpu.ops import tv1d_l1
+    for n in [2, 3, 5, 17, 64]:
+        B = 48
+        Y = rng.randn(B, n) * (10 ** rng.uniform(-1, 1))
+        lam = float(10 ** rng.uniform(-2, 1))
+        X_host = np.stack([native.tv1_host(Y[k], lam) for k in range(B)])
+        X_ts = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(Y), lam))
+        X_dp = np.asarray(tv1d_l1.tv1_dp(jnp.asarray(Y), lam))
+        X_pn = np.asarray(tv1d_l1.tv1_pn(jnp.asarray(Y), lam)[0])
+        np.testing.assert_allclose(X_ts, X_host, atol=1e-8, err_msg=f"ts n={n}")
+        np.testing.assert_allclose(X_dp, X_host, atol=1e-8, err_msg=f"dp n={n}")
+        np.testing.assert_allclose(X_pn, X_host, atol=1e-3, err_msg=f"pn n={n}")
