@@ -1,0 +1,2 @@
+"""Host-side native runtime (C++ engine bindings)."""
+from . import native  # noqa: F401
