@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 from . import tv1d_l1
 
-_SEG_TOL = 1e-6
+_SEG_TOL = 1e-6       # 1D: engines are exact to solver tolerance
+_SEG_TOL_2D = 1e-4    # 2D: combiners stop at mean-change 1e-6, leaving
+                      # truly-flat edges at ~1e-5 residual jumps — classify
+                      # relative to that convergence level, not exactness.
 
 
 def _segment_mean(v, seg_start):
@@ -90,3 +93,100 @@ def _bwd(method, res, g):
 
 
 tv1_prox.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# 2D: the anisotropic TV-L1 solution is piecewise constant on 4-connected flat
+# components; the same stationarity argument gives dX*/dY = component-wise
+# averaging (symmetric projector), so the VJP is the component mean of g.
+# ---------------------------------------------------------------------------
+
+
+def _component_labels(flat_r, flat_c, shape):
+    """Min-label propagation over 4-connected flat edges.
+
+    flat_r (B, M, N-1) / flat_c (B, M-1, N): True where the solution is flat
+    across the edge.  Returns (B, M, N) int32 component labels (minimum linear
+    index in each component)."""
+    B, M, N = shape
+    lab0 = jnp.broadcast_to(
+        (jnp.arange(M)[:, None] * N + jnp.arange(N)[None, :])[None], shape
+    ).astype(jnp.int32)
+    big = jnp.int32(M * N)
+
+    def nbr_min(lab):
+        right = jnp.concatenate(
+            [jnp.where(flat_r, lab[:, :, 1:], big), jnp.full((B, M, 1), big)],
+            axis=2)
+        left = jnp.concatenate(
+            [jnp.full((B, M, 1), big), jnp.where(flat_r, lab[:, :, :-1], big)],
+            axis=2)
+        down = jnp.concatenate(
+            [jnp.where(flat_c, lab[:, 1:, :], big), jnp.full((B, 1, N), big)],
+            axis=1)
+        up = jnp.concatenate(
+            [jnp.full((B, 1, N), big), jnp.where(flat_c, lab[:, :-1, :], big)],
+            axis=1)
+        return jnp.minimum(jnp.minimum(lab, jnp.minimum(left, right)),
+                           jnp.minimum(up, down))
+
+    def cond(state):
+        lab, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        # Doubling trick: two hops per iteration keeps the loop count near
+        # O(log diameter) on convex-ish components, O(diameter) worst case.
+        lab2 = nbr_min(nbr_min(lab))
+        return lab2, jnp.any(lab2 != lab)
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
+    return lab
+
+
+def _component_mean(g, labels):
+    """Mean of g over each labeled component (labels = per-image linear ids)."""
+    B, M, N = g.shape
+    offs = (jnp.arange(B, dtype=jnp.int32) * (M * N))[:, None]
+    ids = (labels.reshape(B, -1) + offs).reshape(-1)
+    v = g.reshape(-1)
+    sums = jax.ops.segment_sum(v, ids, num_segments=B * M * N)
+    cnts = jax.ops.segment_sum(jnp.ones_like(v), ids, num_segments=B * M * N)
+    return (sums[ids] / cnts[ids]).reshape(B, M, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tv2d_prox(Y, lam, method: str = "dr", max_iters: int = 0):
+    """Differentiable batched 2D anisotropic TV-L1 prox on (B, M, N).
+
+    Forward = the requested combiner; backward = exact generalized Jacobian
+    (4-connected flat-component averaging).  lam receives no gradient (pass-
+    through zero) — use :func:`tv1_prox` for 1D lam sensitivity or finite
+    differences for 2D hyperparameter tuning.
+    """
+    from ..models import tv2d
+
+    return tv2d.tv1_2d_batched(Y, lam, method=method, max_iters=max_iters)[0]
+
+
+def _fwd2(Y, lam, method, max_iters):
+    from ..models import tv2d
+
+    X = tv2d.tv1_2d_batched(Y, lam, method=method, max_iters=max_iters)[0]
+    return X, (X, jnp.asarray(lam))
+
+
+def _bwd2(method, max_iters, res, g):
+    X, lam = res
+    B, M, N = X.shape
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(X.reshape(B, -1)), axis=1))
+    tol = (_SEG_TOL_2D * scale)[:, None, None]
+    flat_r = jnp.abs(X[:, :, 1:] - X[:, :, :-1]) <= tol
+    flat_c = jnp.abs(X[:, 1:, :] - X[:, :-1, :]) <= tol
+    labels = _component_labels(flat_r, flat_c, X.shape)
+    gY = _component_mean(g, labels)
+    return gY, jnp.zeros_like(lam)
+
+
+tv2d_prox.defvjp(_fwd2, _bwd2)

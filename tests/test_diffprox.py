@@ -64,3 +64,35 @@ def test_unrolled_learning_smoke(rng):
         lam = lam - 2.0 * jax.grad(loss)(lam)
     l1 = float(loss(lam))
     assert l1 < l0, (l0, l1)
+
+
+def test_2d_vjp_matches_finite_differences(rng):
+    B, M, N = 2, 10, 9
+    Y = jnp.asarray(rng.randn(B, M, N))
+    lam = 0.5
+    g = jnp.asarray(rng.randn(B, M, N))
+
+    def f(y):
+        return jnp.sum(diffprox.tv2d_prox(y, lam, "pd", 2000) * g)
+
+    gy = jax.grad(f)(Y)
+    eps = 1e-5
+    for _ in range(4):
+        d = rng.randn(B, M, N)
+        d = jnp.asarray(d / np.linalg.norm(d))
+        num = (f(Y + eps * d) - f(Y - eps * d)) / (2 * eps)
+        ana = jnp.sum(gy * d)
+        np.testing.assert_allclose(float(num), float(ana), atol=5e-4)
+
+
+def test_2d_vjp_projector(rng):
+    Y = jnp.asarray(rng.randn(1, 8, 8))
+
+    def apply_JT(g):
+        _, vjp = jax.vjp(lambda y: diffprox.tv2d_prox(y, 0.6, "dr", 300), Y)
+        return vjp(g)[0]
+
+    g = jnp.asarray(rng.randn(1, 8, 8))
+    Jg = apply_JT(g)
+    np.testing.assert_allclose(np.asarray(apply_JT(Jg)), np.asarray(Jg),
+                               atol=1e-8)
