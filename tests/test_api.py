@@ -85,3 +85,19 @@ def test_tvgen_nd_methods(rng):
                      method="yang")
     np.testing.assert_allclose(a, b, atol=2e-3)
     np.testing.assert_allclose(a, c, atol=2e-3)
+
+
+def test_tv1w_2d_int_weights(rng):
+    """Reference test_tv1w_2d_emengd regression (prox_tv_test.py:169-178):
+    integer weight matrices must be coerced, not crash."""
+    X = rng.randn(6, 7)
+    W_col = np.ones((5, 7), dtype=np.int64)
+    W_row = np.ones((6, 6), dtype=np.int32)
+    out = ptv.tv1w_2d(X, W_col, W_row, max_iters=50)
+    assert np.isfinite(out).all()
+
+
+def test_tv1_1d_int_weight_scalar():
+    x = np.array([1.0, 5.0, 2.0, 4.0])
+    out = ptv.tv1_1d(x, 1)  # int lam
+    assert np.isfinite(out).all()
