@@ -342,16 +342,20 @@ def _pdhg_fused_ok(Y, variant):
 
 
 def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
-                    W_col=None, W_row=None):
+                    W_col=None, W_row=None, x0=None):
     """Driver for the temporally-blocked PDHG kernel: stacks the image batch
     vertically with decoupled (lam = 0) gap rows, runs K-iteration chunks with
     a mean-change convergence test between chunks.
 
     ``W_col`` (B, M-1, N) / ``W_row`` (B, M, N-1): optional per-edge weight
-    fields (weighted anisotropic TV)."""
+    fields (weighted anisotropic TV).  ``x0``: optional primal warm start
+    (used by the multigrid initialization below)."""
     from ..ops.kernels import pdhg_fused as PK
 
     B, M, N = Y.shape
+    # (A multigrid primal warm start was tried here and reverted: PDHG's
+    # convergence is governed by the dual build-up, so a good x0 alone does
+    # not reduce the iteration count.)
     k_steps, tm = _pdhg_fused_params(N)
     halo = 2 * k_steps
     gap = 8
@@ -401,7 +405,8 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
         return (t < cap_pad) & (delta > tol)
 
     zeros = jnp.zeros_like(Ypad)
-    init = (Ypad, Ypad, zeros, zeros, jnp.int32(0),
+    X0 = canvas(x0) if x0 is not None else Ypad
+    init = (X0, X0, zeros, zeros, jnp.int32(0),
             jnp.asarray(jnp.inf, Y.dtype))
     x, xb, u1, u2, t, delta = jax.lax.while_loop(cond, body, init)
 
