@@ -286,9 +286,9 @@ def _run_yang(Y, prox1, s1_0, prox2, s2_0, cap, tol, rho):
 
 def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
     # Reference constants sigma = 10, tau = 0.9/(8 sigma) (src/TV2Dopt.cpp:609-618).
-    # For the accelerated variant, balanced steps (sigma0 = 1) converge orders of
-    # magnitude faster: growing sigma saturates the clipped duals.
-    sigma0 = 1.0 if variant == "cp-acc" else cfg.cp_sigma
+    # For the accelerated variant, balanced steps converge orders of magnitude
+    # faster: growing sigma saturates the clipped duals.
+    sigma0 = 0.5 if variant == "cp-acc" else cfg.cp_sigma
     tau0 = 0.9 / (8.0 * sigma0)
 
     def body(state):
@@ -304,7 +304,7 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
             # Accelerated steps (Chambolle-Pock Alg. 2, gamma = 1), with sigma
             # capped at 5*sigma0: unbounded sigma drives the clipped duals
             # bang-bang and stalls practical convergence.
-            theta = jnp.where(sigma < 5.0 * sigma0,
+            theta = jnp.where(sigma < 2.0 * sigma0,
                               1.0 / jnp.sqrt(1.0 + 2.0 * tau), 1.0)
             tau_n = tau * theta
             sigma_n = sigma / theta
@@ -364,7 +364,7 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     tiles = max(1, -(-(B * S) // tm))
     Mp = tiles * tm + 2 * halo
 
-    sigma0 = 1.0 if variant == "cp-acc" else cfg.cp_sigma
+    sigma0 = 0.5 if variant == "cp-acc" else cfg.cp_sigma
     tau0 = 0.9 / (8.0 * sigma0)
 
     def canvas(A):
