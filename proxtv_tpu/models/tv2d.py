@@ -288,7 +288,10 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
     # Reference constants sigma = 10, tau = 0.9/(8 sigma) (src/TV2Dopt.cpp:609-618).
     # For the accelerated variant, balanced steps converge orders of magnitude
     # faster: growing sigma saturates the clipped duals.
-    sigma0 = 0.5 if variant == "cp-acc" else cfg.cp_sigma
+    if variant == "cp-acc":
+        sigma0 = 0.5 * jnp.maximum(1.0, jnp.mean(jnp.asarray(w_row, Y.dtype)))
+    else:
+        sigma0 = jnp.asarray(cfg.cp_sigma, Y.dtype)
     tau0 = 0.9 / (8.0 * sigma0)
 
     def body(state):
@@ -364,7 +367,15 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     tiles = max(1, -(-(B * S) // tm))
     Mp = tiles * tm + 2 * halo
 
-    sigma0 = 0.5 if variant == "cp-acc" else cfg.cp_sigma
+    if variant == "cp-acc":
+        # sigma must scale with the penalty: duals live in [-lam, lam] and
+        # accrete in sigma-sized clipped increments; a fixed small sigma makes
+        # large-lam problems stall before the mean-change stop.
+        lam_eff = (jnp.mean(jnp.asarray(W_row, Y.dtype))
+                   if W_row is not None else jnp.asarray(lam, Y.dtype))
+        sigma0 = 0.5 * jnp.maximum(1.0, lam_eff)
+    else:
+        sigma0 = jnp.asarray(cfg.cp_sigma, Y.dtype)
     tau0 = 0.9 / (8.0 * sigma0)
 
     def canvas(A):
