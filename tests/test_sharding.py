@@ -55,3 +55,15 @@ def test_tv_nd_sharding_invariance(rng):
     x_shard, _ = parallel.tv_nd_sharded(Y, ws, ds, ps, mesh, max_iters=20)
     np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
                                atol=1e-10)
+
+
+def test_tv2_and_tvp_1d_sharded(rng):
+    from proxtv_tpu.ops import tv1d_l2, tv1d_lp
+    mesh = parallel.make_mesh()
+    Y = rng.randn(16, 20)
+    x2s, _ = parallel.tv2_1d_sharded(Y, 0.8, mesh)
+    x2, _ = tv1d_l2.tv2_mspg(jnp.asarray(Y), 0.8)
+    np.testing.assert_allclose(np.asarray(x2s), np.asarray(x2), atol=1e-10)
+    xps, _ = parallel.tvp_1d_sharded(Y, 0.5, 1.5, mesh)
+    xp, _ = tv1d_lp.tvp_gpfw(jnp.asarray(Y), 0.5, 1.5)
+    np.testing.assert_allclose(np.asarray(xps), np.asarray(xp), atol=1e-10)

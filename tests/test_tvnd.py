@@ -84,3 +84,23 @@ def test_mixed_norm_penalties(rng):
     x_nd, _ = tvnd.tv_nd_batched(X, (0.5, 0.4), (1, 2), (2.0, 1.0), max_iters=400)
     x_2d, _ = tv2d.tvp_2d_batched(X, 0.5, 0.4, 2.0, 1.0, max_iters=400)
     np.testing.assert_allclose(np.asarray(x_nd), np.asarray(x_2d), atol=2e-3)
+
+
+def test_tvgen_single_term_routes_direct(rng):
+    """One penalty term short-circuits to the plain fiber prox."""
+    from proxtv_tpu.ops import tv1d_l2
+    X = rng.randn(5, 12)
+    x, info = tvnd.tv_nd_batched(jnp.asarray(X)[None], (0.9,), (2,), (2.0,))
+    ref, _ = tv1d_l2.tv2_ms(jnp.asarray(X), 0.9)
+    np.testing.assert_allclose(np.asarray(x)[0], np.asarray(ref), atol=1e-8)
+
+
+def test_tvgen_dispatch_2d_mixed_p(rng):
+    """2D both-dims dispatch honors per-dim p (DR path)."""
+    X = rng.randn(8, 9)
+    x, _ = tvnd.tvgen_dispatch(jnp.asarray(X), [0.4, 0.3], [2, 1], [2.0, 1.0],
+                               max_iters=300)
+    from proxtv_tpu.models import tv2d
+    ref, _ = tv2d.tvp_2d_batched(jnp.asarray(X)[None], 0.3, 0.4, 1.0, 2.0,
+                                 max_iters=300)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref)[0], atol=1e-6)
