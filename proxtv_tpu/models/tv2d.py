@@ -304,9 +304,9 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
         else:  # cp / cp-acc: resolvent of 0.5||.-Y||^2
             x_new = (x - tau * div + tau * Y) / (1.0 + tau)
         if variant == "cp-acc":
-            # Accelerated steps (Chambolle-Pock Alg. 2, gamma = 1), with sigma
-            # capped at 5*sigma0: unbounded sigma drives the clipped duals
-            # bang-bang and stalls practical convergence.
+            # Accelerated steps (Chambolle-Pock Alg. 2, gamma = 1), with
+            # sigma capped at 2*sigma0: unbounded sigma drives the clipped
+            # duals bang-bang and stalls practical convergence.
             theta = jnp.where(sigma < 2.0 * sigma0,
                               1.0 / jnp.sqrt(1.0 + 2.0 * tau), 1.0)
             tau_n = tau * theta
