@@ -492,6 +492,17 @@ def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
     tol = cfg.stop
     method = method.lower()
 
+    if lam.ndim == 1:
+        # Per-image penalties: express as uniform per-edge weight fields and
+        # reuse the weighted drivers (incl. the weighted fused PDHG on TPU).
+        Wc = jnp.broadcast_to(lam[:, None, None], (B, M - 1, N))
+        Wr = jnp.broadcast_to(lam[:, None, None], (B, M, N - 1))
+        w_method = method if method in (
+            "pd", "dr", "condat", "chambolle-pock", "chambolle-pock-acc") else "dr"
+        return tv1w_2d_batched(Y, Wc, Wr, max_iters=max_iters,
+                               method=w_method, inner_method=inner_method,
+                               cfg=cfg)
+
     if method in ("pd", "dr"):
         cfgs = (_make_col_prox(B, M, N, lam, 1.0, inner_method, None, Y.dtype),
                 _make_row_prox(B, M, N, lam, 1.0, inner_method, None, Y.dtype))

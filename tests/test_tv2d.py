@@ -126,3 +126,18 @@ def test_info_reports_convergence(rng):
     X, info = tv2d.tv1_2d_batched(Y, 0.3, method="dr", max_iters=200)
     assert np.all(np.asarray(info.rc) == 0)
     assert np.all(np.asarray(info.iters) <= 200)
+
+
+def test_per_image_lambda_batch(rng):
+    """(B,) per-image penalties route through the weighted drivers and match
+    per-image scalar solves."""
+    B, M, N = 3, 10, 9
+    Y = rng.randn(B, M, N)
+    lams = np.array([0.1, 0.5, 2.0])
+    Xb, _ = tv2d.tv1_2d_batched(jnp.asarray(Y), jnp.asarray(lams),
+                                method="dr", max_iters=300)
+    for k in range(B):
+        Xk, _ = tv2d.tv1_2d_batched(jnp.asarray(Y[k:k + 1]), float(lams[k]),
+                                    method="dr", max_iters=300)
+        np.testing.assert_allclose(np.asarray(Xb)[k], np.asarray(Xk)[0],
+                                   atol=1e-4, err_msg=str(k))
