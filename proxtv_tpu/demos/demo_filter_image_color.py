@@ -24,7 +24,7 @@ def main():
         np.mean((noisy - truth) ** 2), np.mean((den - truth) ** 2)))
 
     # Spatial TV + L2 coupling across color channels.
-    den2 = ptv.tvgen(noisy, [0.3, 0.3, 0.1], [1, 2, 3], [1, 1, 2])
+    den2 = ptv.tvgen(noisy, [0.3, 0.3, 0.02], [1, 2, 3], [1, 1, 2])
     print("spatial+color TV: MSE %.4f -> %.4f" % (
         np.mean((noisy - truth) ** 2), np.mean((den2 - truth) ** 2)))
 
