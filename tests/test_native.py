@@ -68,3 +68,20 @@ def test_fuzz_native_vs_jax_engines(rng):
         np.testing.assert_allclose(X_ts, X_host, atol=1e-8, err_msg=f"ts n={n}")
         np.testing.assert_allclose(X_dp, X_host, atol=1e-8, err_msg=f"dp n={n}")
         np.testing.assert_allclose(X_pn, X_host, atol=1e-3, err_msg=f"pn n={n}")
+
+
+def test_fuzz_weighted_native_vs_jax(rng):
+    """Weighted cross-implementation fuzz: per-edge weights incl. zeros
+    (jump-preserving edges)."""
+    import jax.numpy as jnp
+    from proxtv_tpu.ops import tv1d_l1
+    for n in [3, 9, 33]:
+        B = 32
+        Y = rng.randn(B, n) * 3
+        W = rng.rand(B, n - 1) * 2
+        W[rng.rand(B, n - 1) < 0.2] = 0.0  # zero-weight (free) edges
+        X_host = np.stack([native.tv1w_host(Y[k], W[k]) for k in range(B)])
+        X_ts = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(Y), jnp.asarray(W)))
+        X_dp = np.asarray(tv1d_l1.tv1_dp(jnp.asarray(Y), jnp.asarray(W)))
+        np.testing.assert_allclose(X_ts, X_host, atol=1e-8, err_msg=f"ts n={n}")
+        np.testing.assert_allclose(X_dp, X_host, atol=1e-8, err_msg=f"dp n={n}")
