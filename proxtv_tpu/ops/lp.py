@@ -34,11 +34,13 @@ _BRACKET_STEPS = 60
 
 
 def _bisect_steps(dtype):
-    """Bisection depths matched to the dtype's resolution: halving beyond the
-    mantissa is pure waste (f32: 2^-30 ~ 1e-9 relative; f64: 2^-50)."""
+    """(outer_bisect, outer_newton, inner_bisect, inner_newton) iteration
+    depths.  Bisection localizes the bracket; safeguarded Newton then
+    converges quadratically — far fewer monotone-KKT evaluations than pure
+    bisection at equal accuracy."""
     if dtype == jnp.float32:
-        return 30, 30
-    return 50, 45
+        return 10, 6, 12, 5
+    return 16, 8, 18, 7
 
 
 def dual_p(p: float) -> float:
@@ -101,26 +103,43 @@ def soft_threshold(y, t):
 # ---------------------------------------------------------------------------
 
 
-def _coord_root(a, mu, p, inner_steps):
+def _coord_root(a, mu, p, bisect_steps, newton_steps):
     """Solve s + mu*p*s^(p-1) = a for s in [0, a], elementwise (a >= 0, mu >= 0).
 
-    Elementwise bisection: f is strictly increasing with f(0) <= 0 <= f(a), so
-    the bracket always converges — unlike Newton, whose derivative blows up at
-    s -> 0 for p < 2 (the regime where the reference needs its MNSG fallback,
-    src/LPopt.cpp:451-459).  Every step is a full-width vector op.
+    Bracketed bisection to localize (f is strictly increasing with
+    f(0) <= 0 <= f(a) — pure Newton's derivative blows up at s -> 0 for
+    p < 2, the regime where the reference needs its MNSG fallback,
+    src/LPopt.cpp:451-459), then safeguarded Newton inside the bracket.
+    Every step is a full-width vector op.
     """
 
     def f(s):
         return s + mu * p * s ** (p - 1.0) - a
 
-    def body(_, state):
+    def bis(_, state):
         lo, hi = state
         mid = 0.5 * (lo + hi)
         pos = f(mid) > 0
         return jnp.where(pos, lo, mid), jnp.where(pos, mid, hi)
 
     lo, hi = jax.lax.fori_loop(
-        0, inner_steps, body, (jnp.zeros_like(a), a))
+        0, bisect_steps, bis, (jnp.zeros_like(a), a))
+
+    def newt(_, state):
+        lo, hi, s = state
+        fv = f(s)
+        fp = 1.0 + mu * p * (p - 1.0) * s ** (p - 2.0)
+        s_new = s - fv / fp
+        # Safeguard: fall back to the bracket midpoint when Newton escapes.
+        bad = ~((s_new > lo) & (s_new < hi)) | ~jnp.isfinite(s_new)
+        s_new = jnp.where(bad, 0.5 * (lo + hi), s_new)
+        pos = f(s_new) > 0
+        lo = jnp.where(pos, lo, s_new)
+        hi = jnp.where(pos, s_new, hi)
+        return lo, hi, s_new
+
+    lo, hi, s = jax.lax.fori_loop(
+        0, newton_steps, newt, (lo, hi, 0.5 * (lo + hi)))
     return 0.5 * (lo + hi)
 
 
@@ -142,10 +161,10 @@ def _lp_ball_project_general(y, R, p: float):
     an = a / scale[..., None]
     Rn = R / scale
 
-    outer_steps, inner_steps = _bisect_steps(y.dtype)
+    ob, on, ib, inw = _bisect_steps(y.dtype)
 
     def norm_pp(mu):
-        s = _coord_root(an, mu[..., None], p, inner_steps)
+        s = _coord_root(an, mu[..., None], p, ib, inw)
         return jnp.sum(s ** p, axis=-1), s
 
     # Bracket: double mu until G(mu) < 0.
@@ -171,8 +190,29 @@ def _lp_ball_project_general(y, R, p: float):
         hi = jnp.where(too_big, hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, outer_steps, bisect_body, (lo, hi))
-    _, s = norm_pp(0.5 * (lo + hi))
+    lo, hi = jax.lax.fori_loop(0, ob, bisect_body, (lo, hi))
+
+    # Safeguarded Newton on G(mu) = sum s(mu)^p - R^p inside the bracket.
+    # ds/dmu = -p*s / (s^(2-p) + mu*p*(p-1)) (algebraic form stable at s -> 0).
+    def newton_body(_, state):
+        lo, hi, mu = state
+        g, s = norm_pp(mu)
+        mub = mu[..., None]
+        dsd = -p * s / (s ** (2.0 - p) + mub * p * (p - 1.0) + 1e-300)
+        dG = jnp.sum(p * s ** (p - 1.0) * dsd, axis=-1)
+        mu_new = mu - (g - Rn ** p) / jnp.minimum(dG, -1e-300)
+        bad = ~((mu_new > lo) & (mu_new < hi)) | ~jnp.isfinite(mu_new)
+        mu_new = jnp.where(bad, 0.5 * (lo + hi), mu_new)
+        g2, _ = norm_pp(mu_new)
+        too_big = g2 > Rn ** p
+        lo = jnp.where(too_big, mu_new, lo)
+        hi = jnp.where(too_big, hi, mu_new)
+        return lo, hi, mu_new
+
+    lo, hi, mu = jax.lax.fori_loop(
+        0, -(-on // 2), newton_body, (lo, hi, 0.5 * (lo + hi)))
+    # Evaluate at the feasible bracket end (G(hi) <= target => ||x||_p <= R).
+    _, s = norm_pp(hi)
     x = jnp.sign(y) * s * scale[..., None]
     x = jnp.where(pos_R[..., None], x, jnp.zeros_like(x))
     return jnp.where(inside[..., None], y, x)
