@@ -101,3 +101,13 @@ def test_tv1_1d_int_weight_scalar():
     x = np.array([1.0, 5.0, 2.0, 4.0])
     out = ptv.tv1_1d(x, 1)  # int lam
     assert np.isfinite(out).all()
+
+
+def test_tvgen_three_terms_mixed_norms(rng):
+    """Three penalties with mixed norms through the generalized path."""
+    X = rng.randn(7, 6, 5)
+    out = ptv.tvgen(X, [0.2, 0.2, 0.1], [1, 2, 3], [1, 2, 1], max_iters=60)
+    assert np.isfinite(out).all()
+    v_in = ptv.tv_value(X, [1.0, 1.0, 1.0], [1, 2, 3], [1.0, 2.0, 1.0])
+    v_out = ptv.tv_value(out, [1.0, 1.0, 1.0], [1, 2, 3], [1.0, 2.0, 1.0])
+    assert v_out < v_in

@@ -82,3 +82,34 @@ def test_max_iters_honored(rng):
     Y = jnp.asarray(rng.randn(2, 20) * 2)
     _, info = tv1d_lp.tvp_batched(Y, 0.8, 3.0, method="gp", max_iters=1)
     assert np.all(np.asarray(info.iters) <= 1)
+
+
+def test_p_sweep_agreement(rng):
+    """Reference test_tvp_1d sweeps p in (1, 11] (prox_tv_test.py:65-84);
+    check gp vs gpfw agreement across the range incl. the >10 GP fallback."""
+    from proxtv_tpu.utils.config import TVpConfig
+    cfg = TVpConfig(stop=1e-7)
+    B, n = 6, 18
+    Y = jnp.asarray(rng.randn(B, n) * 2)
+    for p in [1.1, 4.0, 8.0, 10.5]:
+        a, _ = tv1d_lp.tvp_batched(Y, 0.6, p, method="gp", cfg=cfg)
+        b, _ = tv1d_lp.tvp_batched(Y, 0.6, p, method="gpfw", cfg=cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   err_msg=f"p={p}")
+
+
+def test_linf_limit(rng):
+    """p >= 100 clamps to Linf-TV (dual = L1 ball, Duchi path): our solution
+    must dominate a high-p smooth oracle under the true Linf objective."""
+    B, n = 4, 14
+    Y = jnp.asarray(rng.randn(B, n) * 2)
+    x, info = tv1d_lp.tvp_batched(Y, 0.8, 150.0, method="gp")
+    x = np.asarray(x)
+    for k in range(B):
+        yk = np.asarray(Y)[k]
+        ref = oracles.tvp_oracle(yk, 0.8, 40.0)
+
+        def obj(z):
+            return 0.5 * np.sum((z - yk) ** 2) + 0.8 * np.abs(np.diff(z)).max()
+
+        assert obj(x[k]) <= obj(ref) + 1e-4, k
