@@ -96,3 +96,27 @@ def test_2d_vjp_projector(rng):
     Jg = apply_JT(g)
     np.testing.assert_allclose(np.asarray(apply_JT(Jg)), np.asarray(Jg),
                                atol=1e-8)
+
+
+def test_flax_layer_learns_lambda(rng):
+    """TVDenoise1D: gradient descent on the learnable penalty reduces loss."""
+    import optax
+    from proxtv_tpu.models.layers import TVDenoise1D
+
+    truth = jnp.asarray(np.repeat(rng.randn(5), 10)[None, :])
+    noisy = truth + 0.3 * jnp.asarray(rng.randn(*truth.shape))
+    layer = TVDenoise1D(init_lam=0.01)
+    params = layer.init(jax.random.PRNGKey(0), noisy)
+
+    def loss(p):
+        return jnp.mean((layer.apply(p, noisy) - truth) ** 2)
+
+    opt = optax.adam(0.05)
+    state = opt.init(params)
+    l0 = float(loss(params))
+    for _ in range(40):
+        g = jax.grad(loss)(params)
+        upd, state = opt.update(g, state)
+        params = optax.apply_updates(params, upd)
+    l1 = float(loss(params))
+    assert l1 < l0, (l0, l1)
