@@ -1,0 +1,158 @@
+"""Differential parity harness: proxtv_tpu vs the reference C library.
+
+Compiles the reference (albarji/proxTV) from /root/reference into /tmp, then
+compares solutions across the API surface on random instances — the strongest
+form of the reference's own cross-method test strategy.  Acceptance follows
+the reference contract: elementwise atol 1e-3 OR our objective <= theirs
+(both solvers stop at their own tolerances; lower objective = at least as
+converged).
+
+Run: python tools/parity_vs_reference.py
+"""
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LIB = "/tmp/proxtv_ref_bench/libproxtv_ref.so"
+
+
+def build():
+    if os.path.exists(LIB):
+        return True
+    os.makedirs(os.path.dirname(LIB), exist_ok=True)
+    if not os.path.isdir("/root/reference/src"):
+        return False
+    cmd = (f"g++ -O3 -fopenmp -DNOMATLAB=1 -shared -fPIC "
+           f"/root/reference/src/*.cpp -o {LIB} "
+           f"-l:liblapack.so.3 -l:libblas.so.3")
+    subprocess.run(cmd, shell=True, check=True, capture_output=True)
+    return True
+
+
+def main():
+    if not build():
+        print("reference sources unavailable; nothing to compare")
+        return 0
+    import proxtv_tpu as ptv
+
+    lib = ctypes.CDLL(LIB)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.hybridTautString_TV1.restype = None
+    lib.hybridTautString_TV1.argtypes = [pd, ctypes.c_int, ctypes.c_double, pd]
+    lib.tautString_TV1_Weighted.restype = ctypes.c_int
+    lib.tautString_TV1_Weighted.argtypes = [pd, pd, pd, ctypes.c_int]
+    lib.morePG_TV2.restype = ctypes.c_int
+    lib.morePG_TV2.argtypes = [pd, ctypes.c_double, pd, pd, ctypes.c_int, pd,
+                               ctypes.c_void_p]
+    lib.GPFW_TVp.restype = ctypes.c_int
+    lib.GPFW_TVp.argtypes = [pd, ctypes.c_double, pd, pd, ctypes.c_int,
+                             ctypes.c_double, ctypes.c_void_p]
+    lib.DR2_TV.restype = ctypes.c_int
+    lib.DR2_TV.argtypes = [ctypes.c_size_t, ctypes.c_size_t, pd,
+                           ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                           ctypes.c_double, pd, ctypes.c_int, ctypes.c_int, pd]
+
+    rng = np.random.RandomState(123)
+    fails = 0
+
+    def report(name, ok, detail=""):
+        nonlocal fails
+        print(("PASS " if ok else "FAIL ") + name + (" " + detail if detail else ""),
+              flush=True)
+        fails += 0 if ok else 1
+
+    def obj1(x, y, lam):
+        return 0.5 * np.sum((x - y) ** 2) + lam * np.abs(np.diff(x)).sum()
+
+    # --- 1D TV-L1, every method ---
+    for trial in range(3):
+        n = int(rng.randint(20, 200))
+        y = rng.randn(n) * 2
+        lam = float(rng.rand() + 0.1)
+        xr = np.zeros(n)
+        lib.hybridTautString_TV1(y.ctypes.data_as(pd), n, lam,
+                                 xr.ctypes.data_as(pd))
+        for m in ["hybridtautstring", "pn", "dp", "condat"]:
+            xo = np.asarray(ptv.tv1_1d(y, lam, method=m))
+            ok = (np.abs(xo - xr).max() < 1e-3
+                  or obj1(xo, y, lam) <= obj1(xr, y, lam) + 1e-6)
+            report(f"tv1_1d[{m}] n={n}", ok, f"maxdiff={np.abs(xo-xr).max():.2e}")
+
+    # --- weighted 1D ---
+    for trial in range(2):
+        n = int(rng.randint(10, 100))
+        y = rng.randn(n) * 2
+        w = rng.rand(n - 1) * 1.5
+        xr = np.zeros(n)
+        lib.tautString_TV1_Weighted(y.ctypes.data_as(pd),
+                                    w.ctypes.data_as(pd),
+                                    xr.ctypes.data_as(pd), n)
+        xo = np.asarray(ptv.tv1w_1d(y, w))
+        report(f"tv1w_1d n={n}", np.abs(xo - xr).max() < 1e-3,
+               f"maxdiff={np.abs(xo-xr).max():.2e}")
+
+    # --- TV-L2 ---
+    for trial in range(2):
+        n = int(rng.randint(10, 80))
+        y = rng.randn(n) * 2
+        lam = float(rng.rand() + 0.3)
+        xr = np.zeros(n)
+        info = np.zeros(3)
+        lib.morePG_TV2(y.ctypes.data_as(pd), lam, xr.ctypes.data_as(pd),
+                       info.ctypes.data_as(pd), n, None, None)
+        xo = np.asarray(ptv.tv2_1d(y, lam))
+        report(f"tv2_1d n={n}", np.abs(xo - xr).max() < 2e-3,
+               f"maxdiff={np.abs(xo-xr).max():.2e}")
+
+    # --- TV-Lp ---
+    for p in [1.5, 3.0]:
+        n = 60
+        y = rng.randn(n) * 2
+        lam = 0.7
+        xr = np.zeros(n)
+        info = np.zeros(3)
+        lib.GPFW_TVp(y.ctypes.data_as(pd), lam, xr.ctypes.data_as(pd),
+                     info.ctypes.data_as(pd), n, p, None)
+        xo = np.asarray(ptv.tvp_1d(y, lam, p))
+
+        def objp(x):
+            return 0.5 * np.sum((x - y) ** 2) + lam * np.linalg.norm(np.diff(x), p)
+
+        ok = np.abs(xo - xr).max() < 2e-3 or objp(xo) <= objp(xr) + 1e-6
+        report(f"tvp_1d p={p}", ok, f"maxdiff={np.abs(xo-xr).max():.2e}")
+
+    # --- 2D (reference runs in Fortran order; transpose for comparison) ---
+    for trial in range(2):
+        M, N = int(rng.randint(20, 60)), int(rng.randint(20, 60))
+        Y = rng.randn(M, N)
+        lam = 0.4
+        Yf = np.asfortranarray(Y).ravel(order="F").copy()
+        Xr = np.zeros(M * N)
+        info = np.zeros(3)
+        lib.DR2_TV(M, N, Yf.ctypes.data_as(pd), lam, lam, 1.0, 1.0,
+                   Xr.ctypes.data_as(pd), 2, 35, info.ctypes.data_as(pd))
+        Xr = Xr.reshape(M, N, order="F")
+        Xo = np.asarray(ptv.tv1_2d(Y, lam))
+
+        def obj2(X):
+            return (0.5 * np.sum((X - Y) ** 2)
+                    + lam * (np.abs(np.diff(X, axis=0)).sum()
+                             + np.abs(np.diff(X, axis=1)).sum()))
+
+        ok = np.abs(Xo - Xr).max() < 1e-3 or obj2(Xo) <= obj2(Xr) + 1e-6
+        report(f"tv1_2d {M}x{N}", ok,
+               f"maxdiff={np.abs(Xo-Xr).max():.2e} "
+               f"obj(ours)={obj2(Xo):.4f} obj(ref)={obj2(Xr):.4f}")
+
+    print(("ALL PARITY CHECKS PASSED" if fails == 0
+           else f"{fails} PARITY CHECKS FAILED"), flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
