@@ -7,7 +7,14 @@ CPU.  The reference baseline is re-measured when possible (compiled from
 /root/reference into /tmp) and cached in bench_baseline.json; otherwise the
 cached value is used.
 
-Secondary numbers (batched 1D throughput etc.) are printed to stderr.
+Every BASELINE.md family carries a measured reference pair:
+  * 1D TV-L1 batched: our native OpenMP batch host (all cores, FFI-free) —
+    the strongest CPU execution of the same scan algorithm.
+  * weighted 1D / TV-L2 / TV-Lp: reference C solvers driven by a thread pool
+    (ctypes releases the GIL, so this is true multi-core scaling).
+  * weighted 2D: reference DR2L1W_TV (OpenMP, all cores).
+  * 3D: reference Yang3_TV.
+  * long single 1D signal (1e6 samples): reference hybridTautString_TV1.
 """
 import json
 import os
@@ -25,6 +32,15 @@ M = N = 1024
 LAM = 0.3
 B1, N1 = 10000, 1000
 LAM1 = 0.7
+BLP, NLP = 64, 1000      # TV-Lp reference sample (GPFW is slow per signal)
+NLONG = 1_000_000        # single huge signal
+L3, M3, N3 = 32, 256, 256
+
+# Cached baselines missing any of these keys are re-measured.
+BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_1d_signals_s",
+             "ref_1d_batch_signals_s", "ref_1dw_signals_s", "ref_l2_signals_s",
+             "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_2dw_mpx_s",
+             "ref_3d_mpx_s", "ref_long1d_ms", "ref_threads"]
 
 
 def log(*a):
@@ -55,6 +71,14 @@ def _build_reference():
         return None
 
 
+def _thread_map(fn, n_items, workers):
+    """Run fn(i) for i in range(n_items) on a thread pool (ctypes calls
+    release the GIL -> real multi-core scaling)."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(fn, range(n_items)))
+
+
 def measure_reference():
     import ctypes
 
@@ -63,50 +87,132 @@ def measure_reference():
         return None
     lib = ctypes.CDLL(libpath)
     pd = ctypes.POINTER(ctypes.c_double)
-    lib.DR2_TV.restype = ctypes.c_int
-    lib.DR2_TV.argtypes = [ctypes.c_size_t, ctypes.c_size_t, pd,
-                           ctypes.c_double, ctypes.c_double, ctypes.c_double,
-                           ctypes.c_double, pd, ctypes.c_int, ctypes.c_int, pd]
+    ci, cd, cs = ctypes.c_int, ctypes.c_double, ctypes.c_size_t
+    lib.DR2_TV.restype = ci
+    lib.DR2_TV.argtypes = [cs, cs, pd, cd, cd, cd, cd, pd, ci, ci, pd]
     lib.hybridTautString_TV1.restype = None
-    lib.hybridTautString_TV1.argtypes = [pd, ctypes.c_int, ctypes.c_double, pd]
+    lib.hybridTautString_TV1.argtypes = [pd, ci, cd, pd]
+    lib.tautString_TV1_Weighted.restype = ci
+    lib.tautString_TV1_Weighted.argtypes = [pd, pd, pd, ci]
+    lib.morePG_TV2.restype = ci
+    lib.morePG_TV2.argtypes = [pd, cd, pd, pd, ci, ctypes.c_void_p]
+    lib.GPFW_TVp.restype = ci
+    lib.GPFW_TVp.argtypes = [pd, cd, pd, pd, ci, cd, ctypes.c_void_p]
+    lib.DR2L1W_TV.restype = ci
+    lib.DR2L1W_TV.argtypes = [cs, cs, pd, pd, pd, pd, ci, ci, pd]
+    lib.Yang3_TV.restype = ci
+    lib.Yang3_TV.argtypes = [cs, cs, cs, pd, cd, pd, ci, pd]
 
+    nthreads = os.cpu_count() or 1
     rng = np.random.RandomState(0)
+    out = {"ref_threads": nthreads}
+
+    def P(a):
+        return a.ctypes.data_as(pd)
+
+    # ---- 2D TV-L1 (DR2_TV, OpenMP all cores) ----
     Y = np.ascontiguousarray(rng.randn(M, N))
     X = np.zeros_like(Y)
     info = np.zeros(3)
-    nthreads = os.cpu_count() or 1
     t0 = time.time()
-    lib.DR2_TV(M, N, Y.ctypes.data_as(pd), LAM, LAM, 1.0, 1.0,
-               X.ctypes.data_as(pd), nthreads, 35, info.ctypes.data_as(pd))
+    lib.DR2_TV(M, N, P(Y), LAM, LAM, 1.0, 1.0, P(X), nthreads, 35, P(info))
     t_2d = time.time() - t0
-    obj_2d = (0.5 * np.sum((X - Y) ** 2)
-              + LAM * (np.abs(np.diff(X, axis=0)).sum()
-                       + np.abs(np.diff(X, axis=1)).sum()))
+    out["ref_2d_mpx_s"] = M * N / 1e6 / t_2d
+    out["ref_2d_obj"] = float(0.5 * np.sum((X - Y) ** 2)
+                              + LAM * (np.abs(np.diff(X, axis=0)).sum()
+                                       + np.abs(np.diff(X, axis=1)).sum()))
 
-    Y1 = rng.randn(B1, N1)
+    # ---- batched 1D TV-L1: (a) sequential ctypes loop (historic number),
+    # (b) our native OpenMP batch host (FFI-free, all cores — the honest
+    # multi-core CPU execution of the same scan) ----
+    Y1 = np.ascontiguousarray(rng.randn(B1, N1))
     X1 = np.zeros_like(Y1)
     t0 = time.time()
     for k in range(B1):
-        lib.hybridTautString_TV1(Y1[k].ctypes.data_as(pd), N1, LAM1,
-                                 X1[k].ctypes.data_as(pd))
-    t_1d = time.time() - t0
-    return {
-        "ref_2d_mpx_s": M * N / 1e6 / t_2d,
-        "ref_2d_obj": float(obj_2d),
-        "ref_1d_signals_s": B1 / t_1d,
-        "ref_threads": nthreads,
-    }
+        lib.hybridTautString_TV1(P(Y1[k]), N1, LAM1, P(X1[k]))
+    out["ref_1d_signals_s"] = B1 / (time.time() - t0)
+    try:
+        from proxtv_tpu.runtime import native
+        assert native.available()
+        native.tv1_batch_host(Y1[:64], LAM1, n_threads=nthreads)  # warm
+        t0 = time.time()
+        native.tv1_batch_host(Y1, LAM1, n_threads=nthreads)
+        out["ref_1d_batch_signals_s"] = B1 / (time.time() - t0)
+    except Exception as e:  # noqa: BLE001
+        log("native batch host unavailable:", e)
+        out["ref_1d_batch_signals_s"] = out["ref_1d_signals_s"]
+
+    # ---- weighted 1D (tautString_TV1_Weighted, thread pool) ----
+    W1 = np.ascontiguousarray(0.5 + rng.rand(B1, N1 - 1))
+
+    def run_1dw(k):
+        x = np.zeros(N1)
+        lib.tautString_TV1_Weighted(P(Y1[k]), P(W1[k]), P(x), N1)
+
+    t0 = time.time()
+    _thread_map(run_1dw, B1, nthreads)
+    out["ref_1dw_signals_s"] = B1 / (time.time() - t0)
+
+    # ---- TV-L2 (morePG_TV2, thread pool) ----
+    def run_l2(k):
+        x = np.zeros(N1)
+        inf = np.zeros(3)
+        lib.morePG_TV2(P(Y1[k]), 1.0, P(x), P(inf), N1, None)
+
+    t0 = time.time()
+    _thread_map(run_l2, B1, nthreads)
+    out["ref_l2_signals_s"] = B1 / (time.time() - t0)
+
+    # ---- TV-Lp (GPFW_TVp, thread pool, BLP signals) ----
+    for p, key in ((1.5, "ref_lp15_signals_s"), (3.0, "ref_lp3_signals_s")):
+        def run_lp(k, p=p):
+            x = np.zeros(N1)
+            inf = np.zeros(3)
+            lib.GPFW_TVp(P(Y1[k]), 0.7, P(x), P(inf), N1, p, None)
+
+        t0 = time.time()
+        _thread_map(run_lp, BLP, nthreads)
+        out[key] = BLP / (time.time() - t0)
+
+    # ---- weighted 2D (DR2L1W_TV, OpenMP all cores) ----
+    Wc = np.ascontiguousarray(0.5 + rng.rand(M - 1, N))  # fortran vs C: square
+    Wr = np.ascontiguousarray(0.5 + rng.rand(M, N - 1))
+    Xw = np.zeros_like(Y)
+    t0 = time.time()
+    lib.DR2L1W_TV(M, N, P(Y), P(Wc), P(Wr), P(Xw), nthreads, 35, P(info))
+    out["ref_2dw_mpx_s"] = M * N / 1e6 / (time.time() - t0)
+
+    # ---- 3D (Yang3_TV) ----
+    V = np.ascontiguousarray(rng.randn(L3, M3, N3))
+    XV = np.zeros_like(V)
+    t0 = time.time()
+    lib.Yang3_TV(L3, M3, N3, P(V), 0.3, P(XV), 35, P(info))
+    out["ref_3d_mpx_s"] = L3 * M3 * N3 / 1e6 / (time.time() - t0)
+
+    # ---- single huge 1D signal (sequential scan, the reference's headline) --
+    ylong = np.ascontiguousarray(np.cumsum(rng.randn(NLONG)) * 0.05
+                                 + rng.randn(NLONG))
+    xlong = np.zeros_like(ylong)
+    lib.hybridTautString_TV1(P(ylong), NLONG, LAM1, P(xlong))  # warm
+    t0 = time.time()
+    for _ in range(3):
+        lib.hybridTautString_TV1(P(ylong), NLONG, LAM1, P(xlong))
+    out["ref_long1d_ms"] = (time.time() - t0) / 3 * 1e3
+    return out
 
 
 def get_baseline():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            return json.load(f)
+            base = json.load(f)
+        if all(k in base for k in BASE_KEYS):
+            return base
     base = measure_reference()
     if base is None:
         # conservative fallback from a previous measurement on this host
         base = {"ref_2d_mpx_s": 0.49, "ref_2d_obj": 416575.42,
                 "ref_1d_signals_s": 31004.0, "ref_threads": 1}
+        base.update({k: None for k in BASE_KEYS if k not in base})
     with open(CACHE, "w") as f:
         json.dump(base, f)
     return base
@@ -163,18 +269,35 @@ def measure_tpu():
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
         return (time.time() - t0) / reps
 
-    # Secondary BASELINE configs: weighted 1D, TV-L2, TV-Lp, 3D video (Yang).
+    # Secondary BASELINE configs: weighted 1D, TV-L2, TV-Lp, weighted 2D,
+    # 3D video (Yang), single huge 1D signal.
     from proxtv_tpu.models import tvnd
     from proxtv_tpu.ops import tv1d_l2, tv1d_lp
 
     W1 = jnp.asarray((0.5 + rng.rand(B1, N1 - 1)).astype(np.float32))
     t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_pn(Y, W)[0]), Y1, W1)
     t_l2 = timed(jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, 1.0)[0]), Y1)
-    t_lp = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 1.5)[0]),
-                 Y1[:512])
-    V = jnp.asarray(rng.randn(1, 32, 256, 256).astype(np.float32))
+    t_lp15 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 1.5)[0]),
+                   Y1[:512])
+    t_lp3 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 3.0)[0]),
+                  Y1[:512])
+
+    Wc2 = jnp.asarray((0.5 + rng.rand(1, M - 1, N)).astype(np.float32))
+    Wr2 = jnp.asarray((0.5 + rng.rand(1, M, N - 1)).astype(np.float32))
+    t_2dw = timed(jax.jit(lambda Y, Wc, Wr: tv2d.tv1w_2d_batched(
+        Y, Wc, Wr, method="chambolle-pock-acc", max_iters=2500)[0]),
+        Y, Wc2, Wr2)
+
+    V = jnp.asarray(rng.randn(1, L3, M3, N3).astype(np.float32))
     t_3d = timed(jax.jit(lambda V: tvnd.tv_nd_batched(
         V, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0), method="yang")[0]), V)
+
+    # Single huge 1D signal, TPU-resident path.
+    from proxtv_tpu.ops import tv1d_long
+    ylong = jnp.asarray((np.cumsum(rng.randn(NLONG)) * 0.05
+                         + rng.randn(NLONG)).astype(np.float32))
+    flong = jax.jit(lambda y: tv1d_long.tv1_long(y, LAM1)[0])
+    t_long = timed(flong, ylong)
 
     return {
         "tpu_2d_mpx_s": M * N / 1e6 / t_2d,
@@ -182,9 +305,18 @@ def measure_tpu():
         "tpu_1d_signals_s": B1 / t_1d,
         "tpu_1dw_signals_s": B1 / t_1dw,
         "tpu_l2_signals_s": B1 / t_l2,
-        "tpu_lp_signals_s": 512 / t_lp,
-        "tpu_3d_mpx_s": 32 * 256 * 256 / 1e6 / t_3d,
+        "tpu_lp15_signals_s": 512 / t_lp15,
+        "tpu_lp3_signals_s": 512 / t_lp3,
+        "tpu_2dw_mpx_s": M * N / 1e6 / t_2dw,
+        "tpu_3d_mpx_s": L3 * M3 * N3 / 1e6 / t_3d,
+        "tpu_long1d_ms": t_long * 1e3,
     }
+
+
+def _ratio(a, b):
+    if a is None or b is None or not b:
+        return None
+    return round(a / b, 2)
 
 
 def main():
@@ -198,6 +330,7 @@ def main():
     log("objective check (ours <= ref):", obj_ok,
         ours["tpu_2d_obj"], "vs", base["ref_2d_obj"])
     vs = ours["tpu_2d_mpx_s"] / base["ref_2d_mpx_s"]
+    long_ms = ours.get("tpu_long1d_ms")
     print(json.dumps({
         "metric": "tv1_2d_denoise_1024px",
         "value": round(ours["tpu_2d_mpx_s"], 3),
@@ -206,12 +339,31 @@ def main():
         "extra": {
             "tpu_1d_signals_s": round(ours["tpu_1d_signals_s"]),
             "ref_1d_signals_s": round(base["ref_1d_signals_s"]),
-            "vs_baseline_1d": round(ours["tpu_1d_signals_s"]
-                                    / base["ref_1d_signals_s"], 2),
+            "ref_1d_batch_signals_s": round(base["ref_1d_batch_signals_s"] or 0),
+            "vs_baseline_1d": _ratio(ours["tpu_1d_signals_s"],
+                                     base["ref_1d_batch_signals_s"]),
             "tpu_1d_weighted_signals_s": round(ours["tpu_1dw_signals_s"]),
+            "vs_baseline_1dw": _ratio(ours["tpu_1dw_signals_s"],
+                                      base["ref_1dw_signals_s"]),
             "tpu_tvl2_signals_s": round(ours["tpu_l2_signals_s"]),
-            "tpu_tvlp_p1.5_signals_s": round(ours["tpu_lp_signals_s"]),
+            "vs_baseline_l2": _ratio(ours["tpu_l2_signals_s"],
+                                     base["ref_l2_signals_s"]),
+            "tpu_tvlp_p1.5_signals_s": round(ours["tpu_lp15_signals_s"]),
+            "vs_baseline_lp1.5": _ratio(ours["tpu_lp15_signals_s"],
+                                        base["ref_lp15_signals_s"]),
+            "tpu_tvlp_p3_signals_s": round(ours["tpu_lp3_signals_s"]),
+            "vs_baseline_lp3": _ratio(ours["tpu_lp3_signals_s"],
+                                      base["ref_lp3_signals_s"]),
+            "tpu_2d_weighted_mpx_s": round(ours["tpu_2dw_mpx_s"], 2),
+            "vs_baseline_2dw": _ratio(ours["tpu_2dw_mpx_s"],
+                                      base["ref_2dw_mpx_s"]),
             "tpu_3d_yang_mpx_s": round(ours["tpu_3d_mpx_s"], 2),
+            "vs_baseline_3d": _ratio(ours["tpu_3d_mpx_s"],
+                                     base["ref_3d_mpx_s"]),
+            "tpu_long1d_ms": round(long_ms, 2) if long_ms else None,
+            "ref_long1d_ms": (round(base["ref_long1d_ms"], 2)
+                              if base.get("ref_long1d_ms") else None),
+            "vs_baseline_long1d": _ratio(base.get("ref_long1d_ms"), long_ms),
             "objective_ok": bool(obj_ok),
         },
     }))

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .ops import tv1d_l1
 from .utils.config import TV1Config
+from .utils.info import SolverInfo
 
 
 def _as2d(x, dtype=None):
@@ -28,6 +29,13 @@ def _as2d(x, dtype=None):
     if not jnp.issubdtype(a.dtype, jnp.floating):
         a = a.astype(jnp.result_type(jnp.float32, jnp.zeros(0).dtype))
     return a.reshape(1, -1)
+
+
+def _native_ret(out):
+    """Coerce a native-path (f64 numpy) result to the dtype/container the JAX
+    path would produce, so ``backend='auto'`` does not change the public
+    return contract with the environment (host compiler present or not)."""
+    return np.asarray(out, dtype=jnp.zeros(0, jnp.result_type(float)).dtype)
 
 
 def _ret(x2d, info, return_info):
@@ -57,27 +65,47 @@ def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
     linearizedtautstring, hybridtautstring (default), pn, condat, dp,
     condattautstring, kolmogorov.
 
+    ``maxbacktracks`` bounds backtracking in the reference's hybrid scan (it
+    switches to a worst-case-linear method after that many backtracks,
+    src/TVL1opt_hybridtautstring.cpp:56).  The TPU scan engine is already
+    exact, so passing any ``maxbacktracks`` honors the *intent* by routing to
+    the message-passing engine whose worst case is O(n) with zero backtracks.
+
     ``backend='auto'`` routes single host signals with taut-string-family
     methods to the native C++ engine (microsecond latency — a single short
     signal pays tens of ms of TPU dispatch latency for microseconds of
-    compute); ``backend='tpu'`` forces the device path.
+    compute); ``backend='tpu'`` forces the device path.  Both backends return
+    the same dtype (the JAX default float).
     """
     assert method in _TV1_METHODS, f"unknown method {method}"
     assert w >= 0
+    if maxbacktracks is not None and method in _TAUTSTRING_METHODS:
+        method = "dp"
+    n = int(np.asarray(x).size)
     if backend == "auto" and method in _TAUTSTRING_METHODS and not return_info:
         from .runtime import native
 
         if native.available():
             out = native.tv1_host(np.asarray(x, dtype=float).ravel(), float(w))
-            return out
+            return _native_ret(out)
+    if n > 16384 and method != "pn":
+        # Long single signal: the lock-step scan engines pay one sequential
+        # while-step per sample — route to the TPU-resident chunked
+        # solve+glue+polish path (ops/tv1d_long.py), exact by certificate.
+        from .ops import tv1d_long
+
+        out, info = tv1d_long.tv1_long(_as2d(x)[0], float(w))
+        return _ret(out[None], info, return_info)
     y = _as2d(x)
     if method == "pn":
         cfg = TV1Config(sigma=float(sigma))
         out, info = tv1d_l1.tv1_pn(y, float(w), cfg=cfg)
         return _ret(out, info, return_info)
-    out = tv1d_l1.tv1_batched(y, float(w), method=method,
-                              maxbacktracks=maxbacktracks)
-    return _ret(out, None, return_info)
+    out = tv1d_l1.tv1_batched(y, float(w), method=method)
+    # Direct (non-iterative) engines: exact to working precision, no
+    # iteration count — info is (0, 0, RC_OK) by construction.
+    info = SolverInfo.single(0, 0.0, dtype=out.dtype) if return_info else None
+    return _ret(out, info, return_info)
 
 
 def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False,
@@ -95,17 +123,16 @@ def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False,
             wv = np.asarray(w, dtype=float).ravel()
             xv = np.asarray(x, dtype=float).ravel()
             assert wv.size == xv.size - 1 and (wv >= 0).all()
-            return native.tv1w_host(xv, wv)
+            return _native_ret(native.tv1w_host(xv, wv))
     y = _as2d(x)
     wv = jnp.asarray(np.asarray(w, dtype=np.asarray(y).dtype)).reshape(1, -1)
     assert wv.shape[-1] == y.shape[-1] - 1
     assert bool(jnp.all(wv >= 0))
-    if method == "tautstring":
-        out = tv1d_l1.tv1_tautstring(y, wv)
-        return _ret(out, None, return_info)
-    if method == "dp":
-        out = tv1d_l1.tv1_dp(y, wv)
-        return _ret(out, None, return_info)
+    if method in ("tautstring", "dp"):
+        engine = tv1d_l1.tv1_tautstring if method == "tautstring" else tv1d_l1.tv1_dp
+        out = engine(y, wv)
+        info = SolverInfo.single(0, 0.0, dtype=out.dtype) if return_info else None
+        return _ret(out, info, return_info)
     if method == "pn":
         cfg = TV1Config(sigma=float(sigma))
         out, info = tv1d_l1.tv1_pn(y, wv, cfg=cfg)

@@ -205,27 +205,37 @@ def _make_info(iters, delta, cap, tol):
 
 def _loop(body, init_state, x_of, cap, tol):
     """Generic combiner loop: body maps state->state; x_of extracts the primal
-    iterate; runs until mean |x - x_last| < tol for all images or cap iters."""
+    iterate; runs until mean |x - x_last| < tol for all images or cap iters.
+
+    Diagnostics are per image (the reference's per-solve ``info[]``,
+    src/general.h:58-61): ``iters`` counts the sweeps each image ran before
+    its own mean change dropped below tol, so a batch with mixed convergence
+    reports differing counts even though the lock-step loop keeps sweeping
+    already-converged images (their iterate only keeps improving)."""
 
     def full_body(carry):
-        state, x_last, delta, iters = carry
+        state, x_last, delta, iters_img, running, iters = carry
         state = body(state)
         x = x_of(state)
-        delta = _mean_abs_change(x, x_last)
+        delta_new = _mean_abs_change(x, x_last)
+        delta = jnp.where(running, delta_new, delta)
+        iters_img = iters_img + running.astype(jnp.int32)
+        running = running & (delta > tol)
         debug.dprint("combiner iter {i}: max mean-change {d}",
                      i=iters + 1, d=jnp.max(delta))
-        return state, x, delta, iters + 1
+        return state, x, delta, iters_img, running, iters + 1
 
     def cond(carry):
-        _, _, delta, iters = carry
-        return (iters < cap) & (jnp.max(delta) > tol)
+        *_, running, iters = carry
+        return (iters < cap) & jnp.any(running)
 
     x0 = x_of(init_state)
-    big = jnp.full((x0.shape[0],), jnp.inf, x0.dtype)
-    state, x, delta, iters = jax.lax.while_loop(
-        cond, full_body, (init_state, x0, big, jnp.int32(0)))
-    iters_b = jnp.broadcast_to(iters, delta.shape)
-    return x_of(state), _make_info(iters_b, delta, cap, tol)
+    B = x0.shape[0]
+    big = jnp.full((B,), jnp.inf, x0.dtype)
+    state, x, delta, iters_img, running, iters = jax.lax.while_loop(
+        cond, full_body, (init_state, x0, big, jnp.zeros((B,), jnp.int32),
+                          jnp.ones((B,), bool), jnp.int32(0)))
+    return x_of(state), _make_info(iters_img, delta, cap, tol)
 
 
 # -- Proximal Dykstra (reference PD2_TV) ------------------------------------
@@ -345,14 +355,21 @@ def _pdhg_fused_ok(Y, variant):
 
 
 def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
-                    W_col=None, W_row=None, x0=None):
+                    W_col=None, W_row=None, x0=None, gap_tol=None):
     """Driver for the temporally-blocked PDHG kernel: stacks the image batch
-    vertically with decoupled (lam = 0) gap rows, runs K-iteration chunks with
-    a mean-change convergence test between chunks.
+    vertically with decoupled (lam = 0) gap rows and runs K-iteration chunks.
+
+    Stopping is a *per-image duality-gap certificate* evaluated between
+    chunks: from the dual fields (u1, u2) the dual-feasible primal
+    xhat = Y - D'u gives gap(xhat, u) = sum lam|D xhat| - u . D xhat >= 0,
+    which upper-bounds the objective suboptimality of xhat.  Each image stops
+    when its gap falls below ``cfg.pdhg_gap_tol`` relative to its objective
+    (the reference's CP methods run open-loop to an iteration cap instead —
+    src/TVopt.h:75-81 stop tol 0).  The returned iterate is xhat, so the
+    certificate applies to the output itself.
 
     ``W_col`` (B, M-1, N) / ``W_row`` (B, M, N-1): optional per-edge weight
-    fields (weighted anisotropic TV).  ``x0``: optional primal warm start
-    (used by the multigrid initialization below)."""
+    fields (weighted anisotropic TV).  ``x0``: optional primal warm start."""
     from ..ops.kernels import pdhg_fused as PK
 
     B, M, N = Y.shape
@@ -361,8 +378,8 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     # not reduce the iteration count.)
     k_steps, tm = _pdhg_fused_params(N)
     halo = 2 * k_steps
-    gap = 8
-    S = M + gap
+    gap_rows = 8
+    S = M + gap_rows
     Np = -(-N // 128) * 128
     tiles = max(1, -(-(B * S) // tm))
     Mp = tiles * tm + 2 * halo
@@ -370,7 +387,7 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     if variant == "cp-acc":
         # sigma must scale with the penalty: duals live in [-lam, lam] and
         # accrete in sigma-sized clipped increments; a fixed small sigma makes
-        # large-lam problems stall before the mean-change stop.
+        # large-lam problems stall before reaching the gap tolerance.
         lam_eff = (jnp.mean(jnp.asarray(W_row, Y.dtype))
                    if W_row is not None else jnp.asarray(lam, Y.dtype))
         sigma0 = 0.5 * jnp.maximum(1.0, lam_eff)
@@ -386,22 +403,69 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
 
     Ypad = canvas(Y)
     weighted = W_row is not None
+    # Validity masks on the canvas (same rules as the kernel's vr/vc).
+    r = jnp.arange(Mp)[:, None] - halo
+    q = r % S
+    col = jnp.arange(Np)[None, :]
+    in_img = (r >= 0) & (r < B * S)
+    vr = ((col < N - 1) & in_img & (q <= M - 1)).astype(Y.dtype)
+    vc = ((col < N) & in_img & (q <= M - 2)).astype(Y.dtype)
     if weighted:
-        wr = canvas(jnp.asarray(W_row, Y.dtype))
-        wc = canvas(jnp.asarray(W_col, Y.dtype))
+        lamr = canvas(jnp.asarray(W_row, Y.dtype)) * vr
+        lamc = canvas(jnp.asarray(W_col, Y.dtype)) * vc
+        wr, wc = lamr, lamc
         lam = jnp.asarray(1.0, Y.dtype)  # schedule lam column unused
     else:
+        lamr = jnp.asarray(lam, Y.dtype) * vr
+        lamc = jnp.asarray(lam, Y.dtype) * vc
         wr = wc = None
 
     cap_pad = -(-cap // k_steps) * k_steps
     sched = PK.make_schedule(cap_pad, lam, sigma0, tau0, variant)
 
-    core = tiles * tm
-    if B * M * N < (1 << 16):
-        # Small problems: iterations are nearly free — tighten the mean-change
-        # stop so the accelerated schedule matches the exact splittings to the
-        # reference's cross-method contract.
-        tol = tol * 0.02
+    # Same-size difference stencils on the (Mp, Np) canvas (kernel convention).
+    def dr_(X):
+        return X - jnp.concatenate([X[:, 1:], jnp.zeros_like(X[:, :1])], axis=1)
+
+    def drT_(U):
+        return U - jnp.concatenate([jnp.zeros_like(U[:, :1]), U[:, :-1]], axis=1)
+
+    def dc_(X):
+        return X - jnp.concatenate([X[1:, :], jnp.zeros_like(X[:1, :])], axis=0)
+
+    def dcT_(U):
+        return U - jnp.concatenate([jnp.zeros_like(U[:1, :]), U[:-1, :]], axis=0)
+
+    def per_image(E):
+        """Sum an (Mp, Np) field per stacked image -> (B,)."""
+        return jnp.sum(E[halo:halo + B * S].reshape(B, S, Np), axis=(1, 2))
+
+    def gap_and_primal(u1, u2):
+        """Duality-gap certificate: xhat = Y - D'u is dual-feasible-primal;
+        gap_b = sum lam|D xhat| - u . D xhat per image (>= 0 since |u|<=lam).
+        where(), not *mask: the kernel's never-written padding rows hold NaN
+        garbage and 0 * NaN = NaN."""
+        u1 = jnp.where(vr > 0, u1, 0.0)
+        u2 = jnp.where(vc > 0, u2, 0.0)
+        xhat = Ypad - (drT_(u1) + dcT_(u2))
+        gr = dr_(xhat) * vr
+        gc = dc_(xhat) * vc
+        e = lamr * jnp.abs(gr) - u1 * gr + lamc * jnp.abs(gc) - u2 * gc
+        gap_b = per_image(e)
+        obj_b = (0.5 * per_image((xhat - Ypad) ** 2)
+                 + per_image(lamr * jnp.abs(gr) + lamc * jnp.abs(gc)))
+        return gap_b, obj_b, xhat
+
+    feps = jnp.finfo(Y.dtype).eps
+    if gap_tol is None:
+        # Relative gap tolerance with a dtype-achievability floor: the gap is
+        # a sum of ~4*M*N f32 terms whose rounding noise scales with obj.
+        gtol = jnp.maximum(jnp.asarray(cfg.pdhg_gap_tol, Y.dtype), 64.0 * feps)
+    else:
+        gtol = jnp.asarray(gap_tol, Y.dtype)  # explicit override (0 = run to cap)
+
+    def tol_of(obj_b):
+        return gtol * jnp.maximum(1.0, obj_b)
 
     def chunk_call(sd, x, xb, u1, u2):
         return PK.pdhg_chunk(sd, x, xb, u1, u2, Ypad, k_steps=k_steps, tm=tm,
@@ -410,28 +474,31 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
                              wr=wr, wc=wc)
 
     def body(state):
-        x, xb, u1, u2, t, delta, dprev = state
+        x, xb, u1, u2, t, gap_b, iters_img, running = state
         sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
         x2, xb2, u12, u22 = chunk_call(sd, x, xb, u1, u2)
-        d = jnp.mean(jnp.abs(x2[halo:halo + core] - x[halo:halo + core]))
-        return x2, xb2, u12, u22, t + k_steps, d / k_steps, delta
+        iters_img = iters_img + k_steps * running.astype(jnp.int32)
+        gap_new, obj_b, _ = gap_and_primal(u12, u22)
+        gap_b = jnp.where(running, gap_new, gap_b)
+        running = running & (gap_b > tol_of(obj_b))
+        return x2, xb2, u12, u22, t + k_steps, gap_b, iters_img, running
 
     def cond(state):
-        *_, t, delta, dprev = state
-        # Two consecutive converged chunks: the chunk-averaged mean change
-        # underestimates late-iteration movement on fast-converging problems.
-        return (t < cap_pad) & ((delta > tol) | (dprev > tol))
+        *_, t, gap_b, iters_img, running = state
+        return (t < cap_pad) & jnp.any(running)
 
     zeros = jnp.zeros_like(Ypad)
     X0 = canvas(x0) if x0 is not None else Ypad
     init = (X0, X0, zeros, zeros, jnp.int32(0),
-            jnp.asarray(jnp.inf, Y.dtype), jnp.asarray(jnp.inf, Y.dtype))
-    x, xb, u1, u2, t, delta, _ = jax.lax.while_loop(cond, body, init)
+            jnp.full((B,), jnp.inf, Y.dtype), jnp.zeros((B,), jnp.int32),
+            jnp.ones((B,), bool))
+    x, xb, u1, u2, t, gap_b, iters_img, running = jax.lax.while_loop(
+        cond, body, init)
 
-    out = x[halo:halo + B * S].reshape(B, S, Np)[:, :M, :N]
-    iters = jnp.broadcast_to(t, (B,))
-    deltas = jnp.broadcast_to(delta, (B,))
-    return out, _make_info(iters, deltas, cap, tol)
+    gap_b, obj_b, xhat = gap_and_primal(u1, u2)
+    out = xhat[halo:halo + B * S].reshape(B, S, Np)[:, :M, :N]
+    rc = jnp.where(gap_b > tol_of(obj_b), RC_ITERS, RC_OK).astype(jnp.int32)
+    return out, make_info(iters_img, gap_b, rc)
 
 
 # -- Column-exact primal-dual (reference Kolmogorov2_TV) --------------------
@@ -502,12 +569,16 @@ def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
     if lam.ndim == 1:
         # Per-image penalties: express as uniform per-edge weight fields and
         # reuse the weighted drivers (incl. the weighted fused PDHG on TPU).
+        if method not in ("pd", "dr", "yang", "condat", "chambolle-pock",
+                          "chambolle-pock-acc"):
+            raise ValueError(
+                f"method {method!r} does not support per-image penalties; "
+                "use a scalar lam or one of pd/dr/yang/condat/chambolle-pock/"
+                "chambolle-pock-acc")
         Wc = jnp.broadcast_to(lam[:, None, None], (B, M - 1, N))
         Wr = jnp.broadcast_to(lam[:, None, None], (B, M, N - 1))
-        w_method = method if method in (
-            "pd", "dr", "condat", "chambolle-pock", "chambolle-pock-acc") else "dr"
         return tv1w_2d_batched(Y, Wc, Wr, max_iters=max_iters,
-                               method=w_method, inner_method=inner_method,
+                               method=method, inner_method=inner_method,
                                cfg=cfg)
 
     if method in ("pd", "dr"):
@@ -556,9 +627,21 @@ def tv1w_2d_batched(Y, W_col, W_row, max_iters: int = 0, method: str = "dr",
                                    W_col=W_col, W_row=W_row)
         raise ValueError("weighted primal-dual requires the TPU fused path; "
                          "use method='dr' or 'pd'")
+    if method == "yang":
+        rho = cfg.yang_rho
+        W_col = jnp.asarray(W_col, Y.dtype)
+        W_row = jnp.asarray(W_row, Y.dtype)
+        pcol, s1 = _make_col_prox(B, M, N, None, 1.0, inner_method,
+                                  W_col / rho, Y.dtype)
+        prow, s2 = _make_row_prox(B, M, N, None, 1.0, inner_method,
+                                  W_row / rho, Y.dtype)
+        return _run_yang(Y, pcol, s1, prow, s2,
+                         max_iters or cfg.max_iters_yang, cfg.stop, rho)
+    if method not in ("pd", "dr"):
+        raise ValueError(f"Unknown weighted 2D method: {method!r}")
     cfgs = (_make_col_prox(B, M, N, None, 1.0, inner_method, W_col, Y.dtype),
             _make_row_prox(B, M, N, None, 1.0, inner_method, W_row, Y.dtype))
-    return _dispatch(Y, cfgs, "pd" if method == "pd" else "dr", max_iters, cfg)
+    return _dispatch(Y, cfgs, method, max_iters, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("p_col", "p_row", "max_iters", "cfg"))

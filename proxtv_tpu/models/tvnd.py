@@ -100,23 +100,32 @@ def _mean_abs_change(x, x_last):
 
 
 def _loop(body, init_state, x_of, cap, tol):
+    """Per-tensor diagnostics (reference per-solve info[], src/general.h:58-61):
+    ``iters`` counts the sweeps each batch element ran before its own mean
+    change dropped below tol (see tv2d._loop)."""
+
     def full_body(carry):
-        state, x_last, delta, iters = carry
+        state, x_last, delta, iters_img, running, iters = carry
         state = body(state)
         x = x_of(state)
-        return state, x, _mean_abs_change(x, x_last), iters + 1
+        delta_new = _mean_abs_change(x, x_last)
+        delta = jnp.where(running, delta_new, delta)
+        iters_img = iters_img + running.astype(jnp.int32)
+        running = running & (delta > tol)
+        return state, x, delta, iters_img, running, iters + 1
 
     def cond(carry):
-        _, _, delta, iters = carry
-        return (iters < cap) & (jnp.max(delta) > tol)
+        *_, running, iters = carry
+        return (iters < cap) & jnp.any(running)
 
     x0 = x_of(init_state)
-    big = jnp.full((x0.shape[0],), jnp.inf, x0.dtype)
-    state, x, delta, iters = jax.lax.while_loop(
-        cond, full_body, (init_state, x0, big, jnp.int32(0)))
-    iters_b = jnp.broadcast_to(iters, delta.shape)
-    rc = jnp.where((iters_b >= cap) & (delta > tol), RC_ITERS, RC_OK).astype(jnp.int32)
-    return x_of(state), make_info(iters_b, delta, rc)
+    B = x0.shape[0]
+    big = jnp.full((B,), jnp.inf, x0.dtype)
+    state, x, delta, iters_img, running, iters = jax.lax.while_loop(
+        cond, full_body, (init_state, x0, big, jnp.zeros((B,), jnp.int32),
+                          jnp.ones((B,), bool), jnp.int32(0)))
+    rc = jnp.where((iters_img >= cap) & (delta > tol), RC_ITERS, RC_OK).astype(jnp.int32)
+    return x_of(state), make_info(iters_img, delta, rc)
 
 
 @functools.partial(jax.jit,

@@ -118,9 +118,13 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
         # boolean (TB, 1) while_loop state crashes the Mosaic layout pass.
         def outer_body(state):
             w, g, x, fval, gap, gap_prev, it, running = state
-            mI = (((w > -lam) & (w < lam))
-                  | ((w == -lam) & (g < -_EPS))
-                  | ((w == lam) & (g > _EPS)))
+            # Zero-weight (and padded) edges have both box bounds at 0: they
+            # are permanently pinned and must stay out of the inactive set
+            # (see tv1d_l1.tv1_pn inactive_mask).
+            mI = ((lam > 0)
+                  & (((w > -lam) & (w < lam))
+                     | ((w == -lam) & (g < -_EPS))
+                     | ((w == lam) & (g > _EPS))))
             m = mI.astype(y.dtype) * v
             any_inact = (_rowsum(m) > 0).astype(y.dtype)
             d = _pcr_masked(m, g * m, n_pad) * m

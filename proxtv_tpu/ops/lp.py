@@ -83,8 +83,10 @@ def l1_ball_project(y, R):
     k = jnp.arange(1, y.shape[-1] + 1, dtype=y.dtype)
     cand = (cs - R[..., None]) / k
     ok = s - cand > 0
-    # Largest k with s_k > theta_k; rho >= 1 always since R >= 0.
-    rho = jnp.sum(ok, axis=-1) - 1
+    # Largest k with s_k > theta_k.  rho >= 1 holds for R > 0; at R == 0 no
+    # candidate passes and the -1 would wrap to the last element — clamp to 0,
+    # where theta = max|y| shrinks everything to the (correct) zero vector.
+    rho = jnp.maximum(jnp.sum(ok, axis=-1) - 1, 0)
     theta = jnp.take_along_axis(cand, rho[..., None], axis=-1)
     theta = jnp.maximum(theta, 0.0)
     x = jnp.sign(y) * jnp.maximum(a - theta, 0.0)
@@ -144,11 +146,18 @@ def _coord_root(a, mu, p, bisect_steps, newton_steps):
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
-def _lp_ball_project_general(y, R, p: float):
+def _lp_ball_project_general(y, R, p: float, mu0=None):
     """Projection onto {||x||_p <= R} for p in (1.002, 100), batched.
 
-    Outer safeguarded bisection on the KKT multiplier mu (G(mu) = ||x(mu)||_p^p
-    - R^p is strictly decreasing); inner per-coordinate Newton (:func:`_coord_root`).
+    Outer safeguarded root-find on the KKT multiplier mu (G(mu) =
+    ||x(mu)||_p^p - R^p is strictly decreasing); inner per-coordinate Newton
+    (:func:`_coord_root`).  ``mu0``: optional warm start for mu (the TPU
+    analog of the reference's Workspace warm restart) — the bracket barely
+    moves between outer GP iterations, so a warm start replaces the
+    ~30-evaluation cold bracket+bisect phase with a couple of expansion
+    checks plus safeguarded Newton.
+
+    Returns ``(x, mu)`` so iterative callers can thread the multiplier.
     """
     a = jnp.abs(y)
     R = jnp.broadcast_to(jnp.asarray(R, y.dtype), y.shape[:-1])
@@ -160,6 +169,7 @@ def _lp_ball_project_general(y, R, p: float):
     scale = jnp.maximum(jnp.max(a, axis=-1), 1e-300)
     an = a / scale[..., None]
     Rn = R / scale
+    T = Rn ** p
 
     ob, on, ib, inw = _bisect_steps(y.dtype)
 
@@ -167,32 +177,7 @@ def _lp_ball_project_general(y, R, p: float):
         s = _coord_root(an, mu[..., None], p, ib, inw)
         return jnp.sum(s ** p, axis=-1), s
 
-    # Bracket: double mu until G(mu) < 0.
-    def bracket_body(_, state):
-        hi, done = state
-        g, _ = norm_pp(hi)
-        need = ~done & (g > Rn ** p)
-        hi = jnp.where(need, hi * 4.0, hi)
-        done = done | ~need
-        return hi, done
-
-    hi0 = jnp.ones_like(Rn)
-    hi, _ = jax.lax.fori_loop(0, _BRACKET_STEPS // 2, bracket_body,
-                              (hi0, jnp.zeros(Rn.shape, bool)))
-    lo = jnp.zeros_like(hi)
-
-    def bisect_body(_, state):
-        lo, hi = state
-        mid = 0.5 * (lo + hi)
-        g, _ = norm_pp(mid)
-        too_big = g > Rn ** p
-        lo = jnp.where(too_big, mid, lo)
-        hi = jnp.where(too_big, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, ob, bisect_body, (lo, hi))
-
-    # Safeguarded Newton on G(mu) = sum s(mu)^p - R^p inside the bracket.
+    # Safeguarded Newton on G(mu) = sum s(mu)^p - R^p inside a bracket.
     # ds/dmu = -p*s / (s^(2-p) + mu*p*(p-1)) (algebraic form stable at s -> 0).
     def newton_body(_, state):
         lo, hi, mu = state
@@ -200,22 +185,73 @@ def _lp_ball_project_general(y, R, p: float):
         mub = mu[..., None]
         dsd = -p * s / (s ** (2.0 - p) + mub * p * (p - 1.0) + 1e-300)
         dG = jnp.sum(p * s ** (p - 1.0) * dsd, axis=-1)
-        mu_new = mu - (g - Rn ** p) / jnp.minimum(dG, -1e-300)
+        mu_new = mu - (g - T) / jnp.minimum(dG, -1e-300)
         bad = ~((mu_new > lo) & (mu_new < hi)) | ~jnp.isfinite(mu_new)
         mu_new = jnp.where(bad, 0.5 * (lo + hi), mu_new)
         g2, _ = norm_pp(mu_new)
-        too_big = g2 > Rn ** p
+        too_big = g2 > T
         lo = jnp.where(too_big, mu_new, lo)
         hi = jnp.where(too_big, hi, mu_new)
         return lo, hi, mu_new
 
-    lo, hi, mu = jax.lax.fori_loop(
-        0, -(-on // 2), newton_body, (lo, hi, 0.5 * (lo + hi)))
-    # Evaluate at the feasible bracket end (G(hi) <= target => ||x||_p <= R).
-    _, s = norm_pp(hi)
-    x = jnp.sign(y) * s * scale[..., None]
+    if mu0 is None:
+        # Cold start: bracket by doubling, bisect, then Newton.
+        def bracket_body(_, state):
+            hi, done = state
+            g, _ = norm_pp(hi)
+            need = ~done & (g > T)
+            hi = jnp.where(need, hi * 4.0, hi)
+            done = done | ~need
+            return hi, done
+
+        hi0 = jnp.ones_like(Rn)
+        hi, _ = jax.lax.fori_loop(0, _BRACKET_STEPS // 2, bracket_body,
+                                  (hi0, jnp.zeros(Rn.shape, bool)))
+        lo = jnp.zeros_like(hi)
+
+        def bisect_body(_, state):
+            lo, hi = state
+            mid = 0.5 * (lo + hi)
+            g, _ = norm_pp(mid)
+            too_big = g > T
+            lo = jnp.where(too_big, mid, lo)
+            hi = jnp.where(too_big, hi, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, ob, bisect_body, (lo, hi))
+        lo, hi, mu = jax.lax.fori_loop(
+            0, -(-on // 2), newton_body, (lo, hi, 0.5 * (lo + hi)))
+    else:
+        # Warm start: G(0) >= T always holds outside the ball, so lo = 0 is a
+        # valid lower end; the upper end is adapted both ways around mu0
+        # (expand while infeasible, shrink while a 16x smaller hi is still
+        # feasible — keeps the bracket tight when mu0 overshoots).
+        mu_w = jnp.maximum(jnp.asarray(mu0, y.dtype), 1e-30)
+        hi = 2.0 * mu_w
+
+        def exp_body(_, hi):
+            g, _ = norm_pp(hi)
+            return jnp.where(g > T, hi * 16.0, hi)
+
+        hi = jax.lax.fori_loop(0, 3, exp_body, hi)
+
+        def shrink_body(_, hi):
+            g, _ = norm_pp(hi * 0.0625)
+            return jnp.where(g <= T, hi * 0.0625, hi)
+
+        hi = jax.lax.fori_loop(0, 3, shrink_body, hi)
+        lo = jnp.zeros_like(hi)
+        lo, hi, mu = jax.lax.fori_loop(
+            0, on, newton_body, (lo, hi, jnp.clip(mu_w, lo, hi)))
+
+    # Evaluate at the Newton iterate and clamp radially to exact feasibility:
+    # with mu near the root the radial correction is second-order small, and
+    # the returned point always satisfies ||x||_p <= R.
+    g_fin, s = norm_pp(mu)
+    fac = jnp.minimum(1.0, Rn / jnp.maximum(g_fin ** (1.0 / p), 1e-300))
+    x = jnp.sign(y) * s * (fac * scale)[..., None]
     x = jnp.where(pos_R[..., None], x, jnp.zeros_like(x))
-    return jnp.where(inside[..., None], y, x)
+    return jnp.where(inside[..., None], y, x), mu
 
 
 def lp_ball_project(y, R, p: float):
@@ -227,7 +263,19 @@ def lp_ball_project(y, R, p: float):
         return linf_ball_project(y, R)
     if p == 2.0:
         return l2_ball_project(y, R)
-    return _lp_ball_project_general(y, R, p)
+    return _lp_ball_project_general(y, R, p)[0]
+
+
+def lp_ball_project_ws(y, R, p: float, mu0):
+    """Warm-started projection: returns (x, mu) threading the KKT multiplier
+    across calls.  Closed-form regimes pass mu through untouched."""
+    if p <= P_SMALL:
+        return l1_ball_project(y, R), mu0
+    if p >= P_LARGE:
+        return linf_ball_project(y, R), mu0
+    if p == 2.0:
+        return l2_ball_project(y, R), mu0
+    return _lp_ball_project_general(y, R, p, mu0)
 
 
 def lp_prox(y, t, p: float):

@@ -39,7 +39,6 @@ strategy, ``prox_tv/prox_tv_test.py:37-62``).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -149,9 +148,14 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
     sigma = jnp.asarray(cfg.sigma, dtype)
 
     def inactive_mask(w, g):
-        # Reference CHECK_INACTIVE (src/TVL1opt.cpp:62-65).
-        return ((w > -lamv) & (w < lamv)) | ((w == -lamv) & (g < -eps)) | (
-            (w == lamv) & (g > eps))
+        # Reference CHECK_INACTIVE (src/TVL1opt.cpp:62-65), restricted to
+        # lam_i > 0: a zero-weight edge has both box bounds at 0, so its dual
+        # is permanently pinned — treating it as inactive (movable) makes the
+        # Newton step clip back to 0 and the solver exit via the stuck-gap
+        # test at a suboptimal point.
+        return (lamv > 0) & (
+            ((w > -lamv) & (w < lamv)) | ((w == -lamv) & (g < -eps))
+            | ((w == lamv) & (g > eps)))
 
     def armijo(w, g, d, mI, fval):
         """Bounded Armijo + quadratic-interpolation stepsize search
@@ -646,8 +650,7 @@ def tv1_dp(y, lam):
 
 
 def tv1_batched(y, lam, method: str = "hybridtautstring",
-                cfg: TV1Config = DEFAULT_TV1,
-                maxbacktracks: Optional[float] = None):
+                cfg: TV1Config = DEFAULT_TV1):
     """Batched 1D TV-L1 prox with reference-compatible method names.
 
     ``classictautstring``/``condattautstring`` map to the exact lock-step scan

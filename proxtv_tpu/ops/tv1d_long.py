@@ -1,0 +1,119 @@
+"""TPU-resident single-huge-signal 1D TV-L1 prox.
+
+The reference's headline 1D case is one very long signal (n ~ 1e6) solved by a
+sequential O(n) scan (``src/condat_fast_tv.cpp:78-131``,
+``src/TVL1opt_hybridtautstring.cpp:56``) — inherently serial, ~12 ms on a CPU
+core, and impossible to map onto a SIMD core directly.  This module is the
+TPU-native redesign:
+
+1.  **Overlapped chunk solve (parallel).**  The signal is cut into K windows
+    of ``win = chunk + 2*overlap`` samples and ALL windows are solved at once
+    as one batched projected-Newton call (the fused Pallas kernel on TPU —
+    each window's entire solve lives in VMEM).  TV is a local operator: the
+    influence of a window boundary decays with distance, so each window's
+    *interior* chunk is near-exact.
+
+2.  **Dual glue.**  The per-window dual vectors are stitched into a global
+    dual estimate (each edge takes the dual of the window that owns it).
+
+3.  **Certified polish (exact).**  A single warm-started global projected
+    Newton run (:func:`proxtv_tpu.ops.tv1d_l1.tv1_pn` with ``w_init``)
+    finishes the solve to the duality-gap tolerance.  When the glued dual is
+    already optimal the loop exits immediately; pathological couplings (e.g.
+    near-constant solutions spanning many chunks) just cost extra Newton
+    steps — correctness never depends on the overlap heuristic, only speed.
+
+The returned ``SolverInfo`` is the polish certificate (per-signal duality
+gap + rc).  Unlike the reference scan (which "suffers numerical blow-up for
+float at n >= 1e6" from its running sums, src/condat_fast_tv.cpp:129-131),
+the dual formulation never forms long running sums, so f32 stays usable.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_TV1, TV1Config
+from . import tv1d_l1
+
+
+def _window_starts(n: int, chunk: int, overlap: int):
+    """Static window geometry: K windows of ``win`` samples whose interiors
+    [k*chunk, (k+1)*chunk) tile [0, n)."""
+    win = chunk + 2 * overlap
+    K = max(1, -(-n // chunk))
+    starts = np.clip(np.arange(K) * chunk - overlap, 0, max(0, n - win))
+    return K, win, starts
+
+
+def _solve_windows(Yw, lam_w):
+    """Batched exact TV-L1 solve of all (K, win) windows, returning the
+    per-window duals; fused Pallas kernel on TPU f32."""
+    K, win = Yw.shape
+    if (Yw.dtype == jnp.float32 and 2 <= win <= 8192
+            and jax.default_backend() == "tpu"):
+        from .kernels import pn_fused
+        lam_full = jnp.concatenate(
+            [lam_w, jnp.zeros((K, 1), Yw.dtype)], axis=-1)
+        n_pad = -(-win // 128) * 128
+        tb = int(max(8, min(64, ((14 << 20) // (180 * n_pad) // 8) * 8)))
+        x, w = pn_fused.pn_tv1_fused(Yw, lam_full, tb=tb)
+        return x, w
+    x, _, w = tv1d_l1.tv1_pn(Yw, lam_w, return_dual=True)
+    return x, w
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "overlap", "cfg"))
+def tv1_long(y, lam, chunk: int = 6144, overlap: int = 1024,
+             cfg: TV1Config = DEFAULT_TV1):
+    """Single-signal TV-L1 prox for very long signals, TPU-resident.
+
+    Args:
+        y: (n,) signal (any length; the chunked path engages above one chunk).
+        lam: scalar penalty or (n-1,) per-edge weights.
+        chunk: interior samples owned by each window.
+        overlap: boundary margin solved but discarded on each side; larger =
+            better glue (fewer polish iterations), more redundant compute.
+
+    Returns:
+        (x, info): (n,) solution and the polish :class:`SolverInfo`
+        certificate (duality gap, rc) — per the reference per-solve info[].
+    """
+    y = jnp.asarray(y).reshape(-1)
+    n = y.shape[0]
+    dtype = y.dtype
+    lam = jnp.asarray(lam, dtype)
+    per_edge = lam.ndim == 1
+
+    if n <= chunk + 2 * overlap:
+        x, info = tv1d_l1.tv1_pn(y[None], lam[None] if per_edge else lam,
+                                 cfg=cfg)
+        return x[0], info
+
+    K, win, starts_np = _window_starts(n, chunk, overlap)
+    starts = jnp.asarray(starts_np, jnp.int32)
+
+    # Gather windows: (K, win) sample index matrix (static geometry).
+    idx = starts[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    Yw = y[idx]
+    if per_edge:
+        eidx = jnp.minimum(idx[:, : win - 1], n - 2)
+        lam_w = lam[eidx]
+    else:
+        lam_w = jnp.broadcast_to(lam, (K, win - 1))
+
+    _, Ww = _solve_windows(Yw, lam_w)
+
+    # Glue the dual: edge j (between samples j, j+1) is owned by the window
+    # whose interior contains sample j; its local index is j - start_k.
+    j = jnp.arange(K * chunk, dtype=jnp.int32).reshape(K, chunk)
+    local = jnp.clip(j - starts[:, None], 0, win - 2)
+    w_glued = jnp.take_along_axis(Ww, local, axis=1).reshape(-1)[: n - 1]
+
+    # Certified polish: global PN warm-started from the glued dual.
+    lam_b = lam[None] if per_edge else lam
+    x, info = tv1d_l1.tv1_pn(y[None], lam_b, cfg=cfg, w_init=w_glued[None])
+    return x[0], info

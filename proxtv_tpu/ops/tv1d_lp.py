@@ -103,19 +103,18 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum):
 
     if momentum == "ogp":
         # mu-strongly-convex momentum (reference OGP_TVp :436).
-        mu = 2.0 - 2.0 * jnp.cos(jnp.pi / (n + 1.0))
-        kappa = _L_LIPSCHITZ / mu
+        mu_sc = 2.0 - 2.0 * jnp.cos(jnp.pi / (n + 1.0))
+        kappa = _L_LIPSCHITZ / mu_sc
         beta_const = (jnp.sqrt(kappa) - 1.0) / (jnp.sqrt(kappa) + 1.0)
     else:
         beta_const = None
 
-    def proj(u):
-        return lp.lp_ball_project(u, lamv, q)
-
     def body(state):
-        w, z, t, gap, iters, running = state
+        w, z, t, mu, gap, iters, running = state
         grad = _hess_mv(z) - dy
-        w_new = proj(z - step * grad)
+        # Warm-started projection: the KKT multiplier barely moves between
+        # gradient steps (reference Workspace warm restart analog).
+        w_new, mu_new = lp.lp_ball_project_ws(z - step * grad, lamv, q, mu)
         if momentum == "gp":
             z_new, t_new = w_new, t
         elif momentum == "ogp":
@@ -131,22 +130,26 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum):
         w = jnp.where(running[:, None], w_new, w)
         z = jnp.where(running[:, None], z_new, z)
         t = jnp.where(running, t_new, t)
+        mu = jnp.where(running, mu_new, mu)
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
         running = running & (gap > tol)
-        return w, z, t, gap, iters, running
+        return w, z, t, mu, gap, iters, running
 
     def cond(state):
         *_, iters, running = state
         return jnp.any(running) & (jnp.max(iters) < cap)
 
-    w_init = proj(w0)
+    w_init, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    if mu0 is None:
+        mu0 = jnp.ones((B,), dtype)
     x0 = diffs.dual2primal(w_init, y)
     gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
     running0 = (gap0 > tol) & ~interior & ~zero_pen
     t0 = jnp.ones((B,), dtype)
-    w, _, _, gap, iters, running = jax.lax.while_loop(
-        cond, body, (w_init, w_init, t0, gap0, jnp.zeros((B,), jnp.int32), running0))
+    w, _, _, _, gap, iters, running = jax.lax.while_loop(
+        cond, body, (w_init, w_init, t0, mu0, gap0,
+                     jnp.zeros((B,), jnp.int32), running0))
     return _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running)
 
 
@@ -192,42 +195,51 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
     tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps
                       * jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1)))
 
-    def proj(u):
-        return lp.lp_ball_project(u, lamv, q)
-
     def body(state):
-        w, gap, iters, k, running = state
+        w, mu, gap, iters, k, running = state
         grad = _hess_mv(w) - dy
         d, gamma, fw_gap = _fw_direction(w, grad, lamv, q)
         w_fw = w + gamma[:, None] * d
         if gp_every:
-            use_gp = (k % gp_every) == 0
-            w_gp = proj(w - step * grad)
-            w_new = jnp.where(use_gp, w_gp, w_fw)
+            # The GP cycle index k is a *scalar*, so lax.cond skips the
+            # expensive warm-started projection entirely on the FW cycles
+            # (the reference similarly only projects every FW_CYCLES_TVLP-th
+            # iteration, src/TVLPopt.cpp:1252).
+            def gp_branch(_):
+                return lp.lp_ball_project_ws(w - step * grad, lamv, q, mu)
+
+            def fw_branch(_):
+                return w_fw, mu
+
+            w_new, mu_new = jax.lax.cond((k % gp_every) == 0,
+                                         gp_branch, fw_branch, None)
         else:
-            w_new = w_fw
+            w_new, mu_new = w_fw, mu
         x = diffs.dual2primal(w_new, y)
         g = diffs.primal2grad(x)
         gap_new = _gap_tvp(w_new, g, lamv, p)
 
         w = jnp.where(running[:, None], w_new, w)
+        mu = jnp.where(running, mu_new, mu)
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
         # FW duality gap (-grad'd) is also a certificate; stop on either.
         running = running & (gap > tol) & (fw_gap > tol)
-        return w, gap, iters, k + 1, running
+        return w, mu, gap, iters, k + 1, running
 
     def cond(state):
-        _, _, iters, _, running = state
+        *_, iters, _, running = state
         return jnp.any(running) & (jnp.max(iters) < cap)
 
-    w_init = proj(w0)
+    w_init, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    if mu0 is None:
+        mu0 = jnp.ones((B,), dtype)
     x0 = diffs.dual2primal(w_init, y)
     gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
     running0 = (gap0 > tol) & ~interior & ~zero_pen
-    w, gap, iters, _, running = jax.lax.while_loop(
+    w, _, gap, iters, _, running = jax.lax.while_loop(
         cond, body,
-        (w_init, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1), running0))
+        (w_init, mu0, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1), running0))
     return _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running)
 
 

@@ -79,6 +79,7 @@ class CombinerConfig:
     stop_kolmogorov: float = 0.0    # STOP_KOLMOGOROV (disabled in reference)
     yang_rho: float = 10.0          # ADMM rho (src/TV2Dopt.cpp:807)
     cp_sigma: float = 10.0          # Chambolle-Pock sigma (src/TV2Dopt.cpp:610)
+    pdhg_gap_tol: float = 1e-5      # fused-PDHG per-image relative duality-gap stop
 
 
 DEFAULT_TV1 = TV1Config()

@@ -104,20 +104,53 @@ def test_pn_fused_degenerate(rng):
                                * np.ones((1, n)), atol=1e-5)
 
 
-def test_pdhg_fused_matches_xla(rng):
-    """Temporally-blocked PDHG chunk kernel == the XLA PDHG loop."""
+def _pdhg_numpy(Y, lam, sigma, tau, iters, variant):
+    """Independent per-image PDHG reference (same arithmetic as the kernel);
+    returns the dual-feasible primal xhat = Y - D'u."""
+    M, N = Y.shape
+    x = Y.copy()
+    xb = Y.copy()
+    u1 = np.zeros((M, N - 1), np.float32)
+    u2 = np.zeros((M - 1, N), np.float32)
+
+    def div(u1, u2):
+        d = np.zeros_like(Y)
+        d[:, :-1] += u1
+        d[:, 1:] -= u1
+        d[:-1, :] += u2
+        d[1:, :] -= u2
+        return d
+
+    for _ in range(iters):
+        u1 = np.clip(u1 + sigma * (xb[:, :-1] - xb[:, 1:]), -lam, lam)
+        u2 = np.clip(u2 + sigma * (xb[:-1, :] - xb[1:, :]), -lam, lam)
+        dv = div(u1, u2)
+        if variant == "condat":
+            xn = x - tau * ((x - Y) + dv)
+        else:
+            xn = (x - tau * dv + tau * Y) / (1.0 + tau)
+        xb = 2.0 * xn - x
+        x = xn
+    return Y - div(u1, u2)
+
+
+def test_pdhg_fused_matches_numpy_trajectory(rng):
+    """Temporally-blocked PDHG chunk kernel == an independent NumPy loop,
+    iteration for iteration (gap_tol=0 disables the certificate stop)."""
     from proxtv_tpu.models import tv2d
     from proxtv_tpu.utils.config import DEFAULT_COMBINER as cfg
     import jax.numpy as jnp
     B, M, N = 2, 20, 17
-    Y = jnp.asarray(rng.randn(B, M, N).astype(np.float32))
+    Y = rng.randn(B, M, N).astype(np.float32)
+    sigma = np.float32(cfg.cp_sigma)
+    tau = np.float32(0.9 / (8.0 * sigma))
     for variant in ["cp", "condat"]:
-        x_ref, _ = tv2d._run_pdhg(Y, jnp.float32(0.4), jnp.float32(0.4),
-                                  120, 1e-9, cfg, variant)
-        x_fus, _ = tv2d._run_pdhg_fused(Y, jnp.float32(0.4), 120, 1e-9, cfg,
-                                        variant)
-        np.testing.assert_allclose(np.asarray(x_fus), np.asarray(x_ref),
-                                   atol=1e-5, err_msg=variant)
+        x_fus, _ = tv2d._run_pdhg_fused(jnp.asarray(Y), jnp.float32(0.4), 120,
+                                        1e-9, cfg, variant, gap_tol=0.0)
+        for b in range(B):
+            x_ref = _pdhg_numpy(Y[b], np.float32(0.4), sigma, tau, 120, variant)
+            np.testing.assert_allclose(np.asarray(x_fus)[b], x_ref,
+                                       atol=5e-5, err_msg=variant)
 
 
 def test_pdhg_fused_accelerated(rng):

@@ -61,6 +61,21 @@ def test_l1_ball_projection(rng):
                                small)
 
 
+def test_zero_radius_projection(rng):
+    """R == 0 projects onto {0} (regression: the Duchi rho index wrapped to
+    the last element and returned a nonzero vector)."""
+    Y = jnp.asarray(rng.randn(4, 9) * 2)
+    np.testing.assert_allclose(np.asarray(lp.l1_ball_project(Y, 0.0)), 0.0,
+                               atol=1e-12)
+    for p in (1.0, 1.5, 2.0, 3.0, 150.0):
+        np.testing.assert_allclose(np.asarray(lp.lp_ball_project(Y, 0.0, p)),
+                                   0.0, atol=1e-12, err_msg=str(p))
+    # Moreau pair: prox of 0-weighted norm is the identity.
+    for p in (1.0, 1.5, 2.0, 150.0):
+        np.testing.assert_allclose(np.asarray(lp.lp_prox(Y, 0.0, p)),
+                                   np.asarray(Y), atol=1e-12, err_msg=str(p))
+
+
 def test_linf_ball_projection(rng):
     Y = rng.randn(4, 9) * 3
     X = np.asarray(lp.linf_ball_project(jnp.asarray(Y), 1.0))

@@ -91,6 +91,26 @@ def test_weighted_engines_match_oracle(engine, rng):
             np.testing.assert_allclose(X[k], ref, atol=5e-4)
 
 
+@pytest.mark.parametrize("engine", ["tautstring", "dp", "pn"])
+def test_zero_weight_edges(engine, rng):
+    """Edges with w_i == 0 decouple the signal; the PN active-set rule must
+    keep them pinned (regression: treating them as inactive made the Newton
+    step clip to zero and the solver exit stuck at a suboptimal point)."""
+    B, n = 48, 24
+    Y = rng.randn(B, n) * 2
+    W = rng.rand(B, n - 1) * 1.5
+    W[rng.rand(B, n - 1) < 0.3] = 0.0
+    W[:8, :] = 0.0  # fully decoupled signals: prox must be the identity
+    X = np.asarray(_run_engine(engine, jnp.asarray(Y), jnp.asarray(W)))
+    np.testing.assert_allclose(X[:8], Y[:8], atol=1e-10)
+    for k in range(B):
+        ref = oracles.tv1w_oracle(Y[k], W[k])
+        obj_x = oracles.tv1w_objective(X[k], Y[k], W[k])
+        obj_ref = oracles.tv1w_objective(ref, Y[k], W[k])
+        assert obj_x <= obj_ref + 1e-6, (engine, k, obj_x - obj_ref)
+        np.testing.assert_allclose(X[k], ref, atol=5e-4)
+
+
 def test_all_methods_agree_batched(rng):
     """Reference _test_tv1_methods: all methods agree within 1e-3 on random
     signals (prox_tv_test.py:55-62), here in one batched call."""

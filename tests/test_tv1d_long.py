@@ -1,0 +1,46 @@
+"""Tests for the chunked long-signal TV-L1 path (ops/tv1d_long.py):
+glue+polish must be *exact* (certified by the polish duality gap), matching
+the sequential scan engine on signals much longer than one chunk."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from proxtv_tpu.ops import tv1d_l1, tv1d_long
+
+
+def _check(y, lam, chunk, overlap, atol=1e-8):
+    x, info = tv1d_long.tv1_long(jnp.asarray(y), lam, chunk=chunk,
+                                 overlap=overlap)
+    lam2 = lam[None] if np.ndim(lam) == 1 else lam
+    ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
+                                            jnp.asarray(lam2)))[0]
+    np.testing.assert_allclose(np.asarray(x), ref, atol=atol)
+    assert np.all(np.asarray(info.rc) == 0), np.asarray(info.gap)
+
+
+def test_long_matches_scan(rng):
+    n = 5000
+    y = np.cumsum(rng.randn(n)) * 0.05 + rng.randn(n)
+    _check(y, 0.7, chunk=512, overlap=128)
+
+
+def test_long_weighted(rng):
+    n = 3000
+    y = np.cumsum(rng.randn(n)) * 0.05 + rng.randn(n)
+    w = 0.5 + rng.rand(n - 1)
+    _check(y, jnp.asarray(w), chunk=512, overlap=128)
+
+
+def test_long_heavy_smoothing(rng):
+    """Large lam -> segments span many chunks; the polish phase must still
+    deliver the exact solution (the overlap heuristic only buys speed)."""
+    n = 4000
+    y = rng.randn(n)
+    _check(y, 25.0, chunk=256, overlap=64, atol=1e-6)
+
+
+def test_long_short_input_passthrough(rng):
+    y = rng.randn(100)
+    x, info = tv1d_long.tv1_long(jnp.asarray(y), 0.5)
+    ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None], 0.5))[0]
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-8)

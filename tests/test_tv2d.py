@@ -128,6 +128,42 @@ def test_info_reports_convergence(rng):
     assert np.all(np.asarray(info.iters) <= 200)
 
 
+def test_per_image_iters_differ(rng):
+    """A batch with mixed convergence difficulty must report per-image
+    iteration counts (reference per-solve info[], src/general.h:58-61)."""
+    B, M, N = 2, 12, 11
+    Y = np.zeros((B, M, N))
+    Y[0] = 0.01 * rng.randn(M, N)          # converges almost immediately
+    Y[1] = 5.0 * rng.randn(M, N)           # needs many sweeps
+    X, info = tv2d.tv1_2d_batched(jnp.asarray(Y), 1.5, method="dr",
+                                  max_iters=200)
+    iters = np.asarray(info.iters)
+    assert iters[0] < iters[1], iters
+
+
+def test_unknown_method_errors(rng):
+    Y = jnp.asarray(rng.randn(1, 6, 5))
+    Wc = jnp.asarray(np.abs(rng.randn(1, 5, 5)))
+    Wr = jnp.asarray(np.abs(rng.randn(1, 6, 4)))
+    import pytest
+    with pytest.raises(ValueError):
+        tv2d.tv1w_2d_batched(Y, Wc, Wr, method="kolmogorov")
+    with pytest.raises(ValueError):
+        tv2d.tv1w_2d_batched(Y, Wc, Wr, method="typo")
+    with pytest.raises(ValueError):
+        tv2d.tv1_2d_batched(Y, jnp.asarray([0.5]), method="kolmogorov")
+
+
+def test_weighted_yang_uniform_equals_unweighted(rng):
+    Y = jnp.asarray(rng.randn(2, 9, 8))
+    lam = 0.6
+    Wc = jnp.full((2, 8, 8), lam)
+    Wr = jnp.full((2, 9, 7), lam)
+    Xw, _ = tv2d.tv1w_2d_batched(Y, Wc, Wr, method="yang", max_iters=300)
+    Xu, _ = tv2d.tv1_2d_batched(Y, lam, method="yang", max_iters=300)
+    np.testing.assert_allclose(np.asarray(Xw), np.asarray(Xu), atol=1e-8)
+
+
 def test_per_image_lambda_batch(rng):
     """(B,) per-image penalties route through the weighted drivers and match
     per-image scalar solves."""
