@@ -275,7 +275,8 @@ def measure_tpu():
     from proxtv_tpu.ops import tv1d_l2, tv1d_lp
 
     W1 = jnp.asarray((0.5 + rng.rand(B1, N1 - 1)).astype(np.float32))
-    t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_pn(Y, W)[0]), Y1, W1)
+    t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_batched(Y, W, method="pn")),
+                  Y1, W1)
     t_l2 = timed(jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, 1.0)[0]), Y1)
     t_lp15 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 1.5)[0]),
                    Y1[:512])
@@ -289,8 +290,11 @@ def measure_tpu():
         Y, Wc2, Wr2)
 
     V = jnp.asarray(rng.randn(1, L3, M3, N3).astype(np.float32))
+    meth3d = ("chambolle-pock-acc" if jax.default_backend() == "tpu"
+              else "yang")
     t_3d = timed(jax.jit(lambda V: tvnd.tv_nd_batched(
-        V, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0), method="yang")[0]), V)
+        V, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0),
+        method=meth3d, max_iters=2500)[0]), V)
 
     # Single huge 1D signal, TPU-resident path.
     from proxtv_tpu.ops import tv1d_long

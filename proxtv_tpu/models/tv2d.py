@@ -59,10 +59,42 @@ from ..utils.info import RC_ITERS, RC_OK, make_info
 # ---------------------------------------------------------------------------
 
 
+class _FusedFlag:
+    """Trace-time switch for the single-device Pallas kernels.  The public
+    combiners key their jit cache on a static ``use_fused`` argument and set
+    this flag while tracing, so inner helpers (fiber proxes) see the right
+    value without threading a parameter through every level.  Disabled for
+    multi-device (sharded) inputs: a ``pallas_call`` is a single-device op
+    and would force a gather of the sharded operand."""
+
+    value = True
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _fused_ctx(on: bool):
+    old = _FusedFlag.value
+    _FusedFlag.value = on
+    try:
+        yield
+    finally:
+        _FusedFlag.value = old
+
+
+def _concrete_multidevice(Y):
+    """True when Y is a concrete jax.Array laid out over >1 device."""
+    try:
+        return len(Y.sharding.device_set) > 1
+    except Exception:  # noqa: BLE001 — tracers / numpy inputs
+        return False
+
+
 def _fused_ok(Y2, p, method):
     """Route to the fused Pallas PN kernel on TPU (f32, moderate n)."""
-    return (p == 1.0 and method == "pn" and Y2.dtype == jnp.float32
-            and 2 <= Y2.shape[-1] <= 8192
+    return (_FusedFlag.value and p == 1.0 and method == "pn"
+            and Y2.dtype == jnp.float32 and 2 <= Y2.shape[-1] <= 8192
             and jax.default_backend() == "tpu")
 
 
@@ -99,21 +131,45 @@ def _prox1d(Y2, lam, p: float, method: str):
     return tv1d_lp.tvp_batched(Y2, lam, p, method="gpfw")[0]
 
 
-def _prox1d_ws(Y2, lam, p: float, method: str, w0):
-    """Stateful variant: returns (x, dual).  Warm start is supported by the
-    projected-Newton L1 engine; other engines ignore/pass the state through."""
+def _prox_state_init(K, n, p: float, dtype):
+    """Warm-start state pytree per fiber-prox engine: PN dual (p=1),
+    More-Sorensen secular multiplier (p=2), or (dual, KKT-multiplier) for
+    general p — the TPU analog of the reference Workspace warm restart
+    (src/utils.h:30-33, src/TVL2opt.cpp:255-257,414-419)."""
+    if p == 1.0:
+        return jnp.zeros((K, n - 1), dtype)
+    if p == 2.0:
+        return jnp.zeros((K,), dtype)
+    return (jnp.zeros((K, n - 1), dtype), jnp.ones((K,), dtype))
+
+
+def _prox1d_ws(Y2, lam, p: float, method: str, state):
+    """Stateful variant: returns (x, state).  Every iterative engine is
+    warm-started: PN L1 from its dual, TV-L2 More-Sorensen from its secular
+    alpha, TV-Lp from its dual + projection KKT multiplier.  Direct (scan/DP)
+    engines pass the state through."""
     if p == 1.0 and method == "pn":
         if _fused_ok(Y2, p, method):
             from ..ops.kernels import pn_fused
             K, n = Y2.shape
             lam_full = _lam_padded(lam, K, n, Y2.dtype)
-            w0p = jnp.concatenate([w0, jnp.zeros((K, 1), Y2.dtype)], axis=-1)
+            w0p = jnp.concatenate([state, jnp.zeros((K, 1), Y2.dtype)],
+                                  axis=-1)
             x, w = pn_fused.pn_tv1_fused(Y2, lam_full, w_init=w0p,
                                          tb=_fused_tb(n))
             return x, w[:, :-1]
-        x, _, w = tv1d_l1.tv1_pn(Y2, lam, w_init=w0, return_dual=True)
+        x, _, w = tv1d_l1.tv1_pn(Y2, lam, w_init=state, return_dual=True)
         return x, w
-    return _prox1d(Y2, lam, p, method), w0
+    if p == 2.0:
+        x, _, alpha = tv1d_l2.tv2_ms(Y2, lam, alpha_init=state,
+                                     return_alpha=True)
+        return x, alpha
+    if p != 1.0:
+        w0, mu0 = state
+        x, _, st = tv1d_lp.tvp_gpfw(Y2, lam, p, w_init=w0, mu_init=mu0,
+                                    return_state=True)
+        return x, st
+    return _prox1d(Y2, lam, p, method), state
 
 
 def prox_rows(X, lam, p: float = 1.0, method: str = "pn", w_edges=None):
@@ -147,7 +203,7 @@ def _make_row_prox(B, M, N, lam, p, method, w_edges, dtype):
         out, s2 = _prox1d_ws(V.reshape(B * M, N), lam2, p, method, s)
         return out.reshape(B, M, N), s2
 
-    return prox, jnp.zeros((B * M, N - 1), dtype)
+    return prox, _prox_state_init(B * M, N, p, dtype)
 
 
 def _make_col_prox(B, M, N, lam, p, method, w_edges, dtype):
@@ -160,7 +216,7 @@ def _make_col_prox(B, M, N, lam, p, method, w_edges, dtype):
         out, s2 = _prox1d_ws(Vt, lam2, p, method, s)
         return jnp.swapaxes(out.reshape(B, N, M), 1, 2), s2
 
-    return prox, jnp.zeros((B * N, M - 1), dtype)
+    return prox, _prox_state_init(B * N, M, p, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +406,8 @@ def _pdhg_fused_params(N):
 
 def _pdhg_fused_ok(Y, variant):
     B, M, N = Y.shape
-    return (Y.dtype == jnp.float32 and jax.default_backend() == "tpu"
-            and N <= 8192 and M >= 16)
+    return (_FusedFlag.value and Y.dtype == jnp.float32
+            and jax.default_backend() == "tpu" and N <= 8192 and M >= 16)
 
 
 def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
@@ -552,14 +608,32 @@ def _dispatch(Y, cfgs, method, max_iters, cfg):
     raise ValueError(f"Unknown 2D method: {method!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("method", "max_iters", "inner_method", "cfg"))
 def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
-                   inner_method: str = "pn", cfg: CombinerConfig = DEFAULT_COMBINER):
+                   inner_method: str = "pn",
+                   cfg: CombinerConfig = DEFAULT_COMBINER, use_fused=None):
     """Batched 2D anisotropic TV-L1 prox on (B, M, N) image stacks.
 
     Methods: dr (default), pd, yang, condat, chambolle-pock,
     chambolle-pock-acc, kolmogorov (reference prox_tv/__init__.py:355-443).
+
+    ``use_fused``: force the single-device Pallas kernels on/off; by default
+    they are disabled automatically when Y is concretely sharded over more
+    than one device (the XLA paths shard under GSPMD instead).  Pass
+    ``use_fused=False`` explicitly when calling from inside your own jit
+    with sharded operands.
     """
+    if use_fused is None:
+        use_fused = not _concrete_multidevice(Y)
+    with _fused_ctx(bool(use_fused)):
+        return _tv1_2d_batched(Y, lam, method=method, max_iters=max_iters,
+                               inner_method=inner_method, cfg=cfg,
+                               use_fused=bool(use_fused))
+
+
+@functools.partial(jax.jit, static_argnames=("method", "max_iters",
+                                             "inner_method", "cfg",
+                                             "use_fused"))
+def _tv1_2d_batched(Y, lam, method, max_iters, inner_method, cfg, use_fused):
     Y = jnp.asarray(Y)
     B, M, N = Y.shape
     lam = jnp.asarray(lam, Y.dtype)
@@ -577,9 +651,9 @@ def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
                 "chambolle-pock-acc")
         Wc = jnp.broadcast_to(lam[:, None, None], (B, M - 1, N))
         Wr = jnp.broadcast_to(lam[:, None, None], (B, M, N - 1))
-        return tv1w_2d_batched(Y, Wc, Wr, max_iters=max_iters,
-                               method=method, inner_method=inner_method,
-                               cfg=cfg)
+        return _tv1w_2d_batched(Y, Wc, Wr, max_iters=max_iters,
+                                method=method, inner_method=inner_method,
+                                cfg=cfg, use_fused=use_fused)
 
     if method in ("pd", "dr"):
         cfgs = (_make_col_prox(B, M, N, lam, 1.0, inner_method, None, Y.dtype),
@@ -604,17 +678,30 @@ def tv1_2d_batched(Y, lam, method: str = "dr", max_iters: int = 0,
     raise ValueError(f"Unknown 2D method: {method!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "method", "inner_method", "cfg"))
 def tv1w_2d_batched(Y, W_col, W_row, max_iters: int = 0, method: str = "dr",
                     inner_method: str = "pn",
-                    cfg: CombinerConfig = DEFAULT_COMBINER):
+                    cfg: CombinerConfig = DEFAULT_COMBINER, use_fused=None):
     """Batched weighted 2D TV-L1 prox (reference DR2L1W_TV, src/TV2DWopt.cpp:46).
 
     Args:
         Y: (B, M, N) images.
         W_col: (B, M-1, N) per-edge weights along columns.
         W_row: (B, M, N-1) per-edge weights along rows.
+        use_fused: see :func:`tv1_2d_batched`.
     """
+    if use_fused is None:
+        use_fused = not _concrete_multidevice(Y)
+    with _fused_ctx(bool(use_fused)):
+        return _tv1w_2d_batched(Y, W_col, W_row, max_iters=max_iters,
+                                method=method, inner_method=inner_method,
+                                cfg=cfg, use_fused=bool(use_fused))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "method",
+                                             "inner_method", "cfg",
+                                             "use_fused"))
+def _tv1w_2d_batched(Y, W_col, W_row, max_iters, method, inner_method, cfg,
+                     use_fused):
     Y = jnp.asarray(Y)
     B, M, N = Y.shape
     method = method.lower()
@@ -644,10 +731,21 @@ def tv1w_2d_batched(Y, W_col, W_row, max_iters: int = 0, method: str = "dr",
     return _dispatch(Y, cfgs, method, max_iters, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("p_col", "p_row", "max_iters", "cfg"))
 def tvp_2d_batched(Y, w_col, w_row, p_col: float, p_row: float,
-                   max_iters: int = 0, cfg: CombinerConfig = DEFAULT_COMBINER):
+                   max_iters: int = 0, cfg: CombinerConfig = DEFAULT_COMBINER,
+                   use_fused=None):
     """Batched general-norm 2D TV prox (reference DR2_TV with p args)."""
+    if use_fused is None:
+        use_fused = not _concrete_multidevice(Y)
+    with _fused_ctx(bool(use_fused)):
+        return _tvp_2d_batched(Y, w_col, w_row, p_col=p_col, p_row=p_row,
+                               max_iters=max_iters, cfg=cfg,
+                               use_fused=bool(use_fused))
+
+
+@functools.partial(jax.jit, static_argnames=("p_col", "p_row", "max_iters",
+                                             "cfg", "use_fused"))
+def _tvp_2d_batched(Y, w_col, w_row, p_col, p_row, max_iters, cfg, use_fused):
     Y = jnp.asarray(Y)
     B, M, N = Y.shape
     w_col = jnp.asarray(w_col, Y.dtype)

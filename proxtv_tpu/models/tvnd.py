@@ -70,10 +70,10 @@ def _prox_along_ws(X, dim: int, lam, p: float, method: str, state):
     return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis), state
 
 
-def _state_init(X, dim: int):
+def _state_init(X, dim: int, p: float = 1.0):
     n = X.shape[dim]
     fibers = X.size // n
-    return jnp.zeros((fibers, n - 1), X.dtype)
+    return tv2d._prox_state_init(fibers, n, p, X.dtype)
 
 
 def _norm_along(X, dim: int, p: float):
@@ -128,12 +128,148 @@ def _loop(body, init_state, x_of, cap, tol):
     return x_of(state), make_info(iters_img, delta, rc)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("ws", "ds", "ps", "max_iters", "method",
-                                    "inner_method", "cfg"))
+# ---------------------------------------------------------------------------
+# Fused 3D primal-dual engine (Pallas)
+# ---------------------------------------------------------------------------
+
+
+def _pdhg3d_fused_ok(Y, ds, ps):
+    """Fused 3D PDHG requires: (B, L, M, N) volumes penalized on all three
+    signal dims with p = 1, f32 on TPU, and a line that fits VMEM."""
+    return (tv2d._FusedFlag.value and Y.ndim == 4
+            and tuple(sorted(ds)) == (1, 2, 3)
+            and all(p == 1.0 for p in ps) and Y.dtype == jnp.float32
+            and Y.shape[-1] <= 2048 and jax.default_backend() == "tpu")
+
+
+def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
+    """Driver for the temporally-blocked 3D PDHG kernel: volumes stacked
+    along L with decoupled gap layers; stops on the per-volume duality-gap
+    certificate (see tv2d._run_pdhg_fused — same contract, three dual fields).
+
+    ``lams_by_dim``: (lam_L, lam_M, lam_N) scalar penalties per signal dim.
+    Reference algorithm covered: Yang3_TV (src/TVNDopt.cpp:678-781), re-posed
+    primal-dual and fused.
+    """
+    from ..ops.kernels import pdhg3d_fused as PK3
+
+    B, L, M, N = Y.shape
+    lam_L, lam_M, lam_N = [jnp.asarray(l, Y.dtype) for l in lams_by_dim]
+    k_steps, tl, tm = PK3.best_params(-(-N // 128) * 128)
+    hl, hm = PK3._halo_l(k_steps), PK3._halo_m(k_steps)
+    gap_layers = 2
+    S = L + gap_layers
+    Np = -(-N // 128) * 128
+    ltiles = max(1, -(-(B * S) // tl))
+    mtiles = max(1, -(-M // tm))
+    Lp = ltiles * tl + 2 * hl
+    Mp = mtiles * tm + 2 * hm
+
+    if variant == "cp-acc":
+        lam_eff = jnp.maximum(jnp.maximum(lam_L, lam_M), lam_N)
+        sigma0 = 0.5 * jnp.maximum(1.0, lam_eff)
+    else:
+        sigma0 = jnp.asarray(cfg.cp_sigma, Y.dtype)
+    tau0 = 0.9 / (12.0 * sigma0)  # ||D||^2 <= 12 for three dualized axes
+
+    def canvas(A):
+        b, l, m, n = A.shape
+        A = jnp.pad(A, ((0, 0), (0, S - l), (0, 0), (0, 0)))
+        A = A.reshape(B * S, m, n)
+        return jnp.pad(A, ((hl, Lp - hl - B * S), (hm, Mp - hm - m),
+                           (0, Np - n)))
+
+    Ypad = canvas(Y)
+    # Validity masks on the canvas (kernel rules).
+    r = jnp.arange(Lp)[:, None, None] - hl
+    q = r % S
+    rm = jnp.arange(Mp)[None, :, None] - hm
+    col = jnp.arange(Np)[None, None, :]
+    in_img = ((r >= 0) & (r < B * S) & (q <= L - 1)
+              & (rm >= 0) & (rm < M) & (col < N))
+    v1 = (in_img & (col < N - 1)).astype(Y.dtype)
+    v2 = (in_img & (rm < M - 1)).astype(Y.dtype)
+    v3 = (in_img & (q <= L - 2)).astype(Y.dtype)
+    lam1, lam2, lam3 = lam_N * v1, lam_M * v2, lam_L * v3
+
+    cap_pad = -(-cap // k_steps) * k_steps
+    sched = PK3.make_schedule3(cap_pad, (lam_N, lam_M, lam_L), sigma0, tau0,
+                               variant)
+
+    def dT(U, axis):
+        z = jnp.zeros_like(jnp.take(U, jnp.arange(1), axis=axis))
+        first = jnp.concatenate([z, jnp.moveaxis(
+            jnp.moveaxis(U, axis, 0)[:-1], 0, axis)], axis=axis)
+        return U - first
+
+    def d_(X, axis):
+        z = jnp.zeros_like(jnp.take(X, jnp.arange(1), axis=axis))
+        nxt = jnp.concatenate([jnp.moveaxis(
+            jnp.moveaxis(X, axis, 0)[1:], 0, axis), z], axis=axis)
+        return X - nxt
+
+    def per_vol(E):
+        return jnp.sum(E[hl:hl + B * S].reshape(B, S, Mp, Np), axis=(1, 2, 3))
+
+    def gap_and_primal(u1, u2, u3):
+        u1 = jnp.where(v1 > 0, u1, 0.0)
+        u2 = jnp.where(v2 > 0, u2, 0.0)
+        u3 = jnp.where(v3 > 0, u3, 0.0)
+        xhat = Ypad - (dT(u1, 2) + dT(u2, 1) + dT(u3, 0))
+        g1 = d_(xhat, 2) * v1
+        g2 = d_(xhat, 1) * v2
+        g3 = d_(xhat, 0) * v3
+        e = (lam1 * jnp.abs(g1) - u1 * g1 + lam2 * jnp.abs(g2) - u2 * g2
+             + lam3 * jnp.abs(g3) - u3 * g3)
+        gap_b = per_vol(e)
+        obj_b = (0.5 * per_vol((xhat - Ypad) ** 2)
+                 + per_vol(lam1 * jnp.abs(g1) + lam2 * jnp.abs(g2)
+                           + lam3 * jnp.abs(g3)))
+        return gap_b, obj_b, xhat
+
+    if gap_tol is None:
+        gtol = jnp.maximum(jnp.asarray(cfg.pdhg_gap_tol, Y.dtype),
+                           64.0 * jnp.finfo(Y.dtype).eps)
+    else:
+        gtol = jnp.asarray(gap_tol, Y.dtype)  # explicit (0 = run to cap)
+
+    def chunk_call(sd, x, xb, u1, u2, u3):
+        return PK3.pdhg3d_chunk(sd, x, xb, u1, u2, u3, Ypad, k_steps=k_steps,
+                                tl=tl, tm=tm, n_valid=N, m_valid=M, l_valid=L,
+                                stride=S, count=B, pad_top=hl, pad_m=hm,
+                                grad_step=(variant == "condat"))
+
+    def body(state):
+        x, xb, u1, u2, u3, t, gap_b, iters_img, running = state
+        sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 6))
+        x2, xb2, u12, u22, u32 = chunk_call(sd, x, xb, u1, u2, u3)
+        iters_img = iters_img + k_steps * running.astype(jnp.int32)
+        gap_new, obj_b, _ = gap_and_primal(u12, u22, u32)
+        gap_b = jnp.where(running, gap_new, gap_b)
+        running = running & (gap_b > gtol * jnp.maximum(1.0, obj_b))
+        return x2, xb2, u12, u22, u32, t + k_steps, gap_b, iters_img, running
+
+    def cond(state):
+        *_, t, gap_b, iters_img, running = state
+        return (t < cap_pad) & jnp.any(running)
+
+    zeros = jnp.zeros_like(Ypad)
+    init = (Ypad, Ypad, zeros, zeros, zeros, jnp.int32(0),
+            jnp.full((B,), jnp.inf, Y.dtype), jnp.zeros((B,), jnp.int32),
+            jnp.ones((B,), bool))
+    x, xb, u1, u2, u3, t, gap_b, iters_img, running = jax.lax.while_loop(
+        cond, body, init)
+
+    gap_b, obj_b, xhat = gap_and_primal(u1, u2, u3)
+    out = xhat[hl:hl + B * S].reshape(B, S, Mp, Np)[:, :L, hm:hm + M, :N]
+    rc = jnp.where(gap_b > gtol * jnp.maximum(1.0, obj_b), RC_ITERS,
+                   RC_OK).astype(jnp.int32)
+    return out, make_info(iters_img, gap_b, rc)
+
+
 def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
                   inner_method: str = "pn",
-                  cfg: CombinerConfig = DEFAULT_COMBINER):
+                  cfg: CombinerConfig = DEFAULT_COMBINER, use_fused=None):
     """Batched generalized ND TV prox on (B, *signal_dims) stacks.
 
     Args:
@@ -142,8 +278,25 @@ def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
         ds: tuple of 1-based penalized dimensions.
         ps: tuple of norm degrees.
         method: 'pd' (Parallel Proximal Dykstra, default), 'pdr' (Parallel
-            Douglas-Rachford), or 'yang' (consensus ADMM).
+            Douglas-Rachford), 'yang' (consensus ADMM), or — for 3D volumes
+            penalized on all dims with p = 1 on TPU — the fused primal-dual
+            engines 'condat' / 'chambolle-pock' / 'chambolle-pock-acc'.
+        use_fused: see :func:`proxtv_tpu.models.tv2d.tv1_2d_batched`.
     """
+    if use_fused is None:
+        use_fused = not tv2d._concrete_multidevice(Y)
+    with tv2d._fused_ctx(bool(use_fused)):
+        return _tv_nd_batched(Y, tuple(ws), tuple(ds), tuple(ps),
+                              max_iters=max_iters, method=method,
+                              inner_method=inner_method, cfg=cfg,
+                              use_fused=bool(use_fused))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ws", "ds", "ps", "max_iters", "method",
+                                    "inner_method", "cfg", "use_fused"))
+def _tv_nd_batched(Y, ws, ds, ps, max_iters, method, inner_method, cfg,
+                   use_fused):
     Y = jnp.asarray(Y)
     ws = tuple(float(w) for w in ws)
     ds = tuple(int(d) for d in ds)
@@ -155,13 +308,26 @@ def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
         return _prox_along_ws(V, ds[i], ws[i] * scale, ps[i], inner_method, st)
 
     if npen == 1:
-        x, _ = prox_i(0, Y, 1.0, _state_init(Y, ds[0]))
+        x, _ = prox_i(0, Y, 1.0, _state_init(Y, ds[0], ps[0]))
         B = Y.shape[0]
         return x, make_info(jnp.zeros((B,), jnp.int32),
                             jnp.zeros((B,), Y.dtype), jnp.zeros((B,), jnp.int32))
 
-    states0 = tuple(_state_init(Y, ds[i]) for i in range(npen))
     method = method.lower()
+    if method in ("condat", "chambolle-pock", "chambolle-pock-acc"):
+        if not _pdhg3d_fused_ok(Y, ds, ps):
+            raise ValueError(
+                "primal-dual ND methods need (B, L, M, N) f32 volumes "
+                "penalized on dims (1, 2, 3) with p = 1 on TPU; use "
+                "method='pd', 'pdr' or 'yang'")
+        lam_by = {d: w for w, d in zip(ws, ds)}
+        variant = {"condat": "condat", "chambolle-pock": "cp",
+                   "chambolle-pock-acc": "cp-acc"}[method]
+        cap = max_iters or cfg.max_iters_condat
+        return _run_pdhg3d_fused(Y, (lam_by[1], lam_by[2], lam_by[3]), cap,
+                                 cfg, variant)
+
+    states0 = tuple(_state_init(Y, ds[i], ps[i]) for i in range(npen))
     if method == "pd":
         # Parallel Dykstra: z_i staging, lambda_i * npen rescale, mean combine
         # (reference src/TVNDopt.cpp:100-101, 212-214).

@@ -131,6 +131,15 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
 
     lamv = _edge_weights(lam, B, n, dtype)
 
+    # Center each signal: the prox is translation-equivariant and the dual
+    # depends only on Dy, so solving on y - mean(y) leaves the dual unchanged
+    # while making every internal magnitude (fval, duality gap, and therefore
+    # the dtype-relative stopping scale below) invariant to DC offsets — in
+    # f32 this is worth several orders of magnitude of accuracy for signals
+    # far from zero (e.g. random-walk data, image fibers).
+    ybar = jnp.mean(y, axis=-1, keepdims=True)
+    y = y - ybar
+
     dy = diffs.forward_diff(y)  # (B, n-1)
     if w_init is None:
         # Unconstrained dual solution: DD' w = Dy (reference src/TVL1opt.cpp:110-117).
@@ -281,6 +290,7 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
                    jnp.where((stop > tol) & (jnp.abs(stop - stop_prev) <= eps_gap),
                              RC_STUCK, RC_OK)).astype(jnp.int32)
     info = make_info(iters, jnp.abs(stop), rc)
+    x = x + ybar
     if return_dual:
         return x, info, w
     return x, info
@@ -672,7 +682,11 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     if method == "pn":
         y = jnp.asarray(y)
         B, n = y.shape
-        if (y.dtype == jnp.float32 and 2 <= n <= 8192
+        try:  # sharded batch -> XLA path (GSPMD); pallas_call is single-device
+            multidev = len(y.sharding.device_set) > 1
+        except Exception:  # noqa: BLE001 — tracers
+            multidev = False
+        if (not multidev and y.dtype == jnp.float32 and 2 <= n <= 8192
                 and jax.default_backend() == "tpu"):
             # Fused VMEM-resident Pallas solver (one HBM read/write).
             from .kernels import pn_fused

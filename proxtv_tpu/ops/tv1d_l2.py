@@ -55,25 +55,37 @@ def _lam_vec(lam, B, dtype):
     return lam.reshape(B)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def tv2_ms(y, lam, cfg: TV2Config = DEFAULT_TV2):
+@functools.partial(jax.jit, static_argnames=("cfg", "return_alpha"))
+def tv2_ms(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
+           return_alpha: bool = False):
     """Batched More-Sorensen TV-L2 prox.
 
     Args:
         y: (B, n) batch of signals.
         lam: scalar or (B,) nonnegative penalties.
         cfg: tolerances (defaults mirror reference src/TVopt.h:36-39).
+        alpha_init: optional (B,) secular-multiplier warm start — the TPU
+            analog of the reference's Workspace warm restart of the MS
+            lambda (src/TVL2opt.cpp:255-257,414-419); combiners carry each
+            fiber's alpha across outer sweeps.
+        return_alpha: also return the final multiplier for threading.
 
     Returns:
-        (x, info) with x (B, n) and per-signal :class:`SolverInfo`.
+        (x, info) or (x, info, alpha).
     """
     y = jnp.asarray(y)
     B, n = y.shape
     dtype = y.dtype
     if n == 1:
-        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
-                            jnp.zeros((B,), jnp.int32))
+        info1 = make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                          jnp.zeros((B,), jnp.int32))
+        if return_alpha:
+            return y, info1, jnp.zeros((B,), dtype)
+        return y, info1
     lamv = _lam_vec(lam, B, dtype)
+    # Center (translation equivariance; dual unchanged — see tv1d_l1.tv1_pn).
+    ybar = jnp.mean(y, axis=-1, keepdims=True)
+    y = y - ybar
     dy = diffs.forward_diff(y)
 
     # Unconstrained solution: DD' w = dy.  Interior case -> x = mean(y).
@@ -108,8 +120,13 @@ def tv2_ms(y, lam, cfg: TV2Config = DEFAULT_TV2):
 
     # Newton on the secular equation started from alpha = 0: there
     # ||w(0)|| > lam (boundary case), and 1/||w(alpha)|| is concave increasing,
-    # so the iteration converges monotonically from below.
-    alpha0 = jnp.zeros((B,), dtype)
+    # so the iteration converges monotonically from below.  A warm alpha may
+    # start above the root; the update is then negative and the iteration
+    # descends (clipped at 0), still safeguarded by the iteration cap.
+    if alpha_init is None:
+        alpha0 = jnp.zeros((B,), dtype)
+    else:
+        alpha0 = jnp.maximum(jnp.asarray(alpha_init, dtype), 0.0)
     running0 = ~interior & ~zero_pen
     alpha, w, iters, running = jax.lax.while_loop(
         cond, body, (alpha0, w0, jnp.zeros((B,), jnp.int32), running0))
@@ -120,7 +137,10 @@ def tv2_ms(y, lam, cfg: TV2Config = DEFAULT_TV2):
     g = diffs.primal2grad(x)
     gap = jnp.where(interior | zero_pen, 0.0, _gap_tv2(w, g, lamv))
     rc = jnp.where(running, RC_ITERS, RC_OK).astype(jnp.int32)
-    return x, make_info(iters, gap, rc)
+    info = make_info(iters, gap, rc)
+    if return_alpha:
+        return x + ybar, info, alpha
+    return x + ybar, info
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iters"))
@@ -133,6 +153,9 @@ def tv2_pg(y, lam, cfg: TV2Config = DEFAULT_TV2, max_iters: int | None = None):
         return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
                             jnp.zeros((B,), jnp.int32))
     lamv = _lam_vec(lam, B, dtype)
+    # Center (translation equivariance; dual unchanged — see tv1d_l1.tv1_pn).
+    ybar = jnp.mean(y, axis=-1, keepdims=True)
+    y = y - ybar
     dy = diffs.forward_diff(y)
     cap = int(max_iters) if max_iters else cfg.pg_max_iters
     step = jnp.asarray(cfg.pg_step, dtype)
@@ -172,7 +195,7 @@ def tv2_pg(y, lam, cfg: TV2Config = DEFAULT_TV2, max_iters: int | None = None):
     running0 = (gap0 > tol) & (lamv > 0)
     w, gap, iters, running = jax.lax.while_loop(
         cond, body, (w_init, gap0, jnp.zeros((B,), jnp.int32), running0))
-    x = diffs.dual2primal(w, y)
+    x = diffs.dual2primal(w, y) + ybar
     rc = jnp.where(running, RC_ITERS, RC_OK).astype(jnp.int32)
     return x, make_info(iters, gap, rc)
 
@@ -190,7 +213,9 @@ def tv2_mspg(y, lam, cfg: TV2Config = DEFAULT_TV2):
     B, _ = y.shape
     lamv = _lam_vec(lam, B, y.dtype)
     x_pg, info_pg = tv2_pg(y, lam, cfg=cfg, max_iters=cfg.mspg_pg_iters)
-    scale = jnp.maximum(1.0, 0.5 * jnp.sum(jnp.asarray(y) ** 2, axis=-1))
+    yc = jnp.asarray(y)
+    yc = yc - jnp.mean(yc, axis=-1, keepdims=True)
+    scale = jnp.maximum(1.0, 0.5 * jnp.sum(yc ** 2, axis=-1))
     need_ms = info_pg.gap > jnp.maximum(
         cfg.stop, 10.0 * jnp.finfo(jnp.asarray(y).dtype).eps * scale)
     x_ms, info_ms = tv2_ms(y, lam, cfg=cfg)

@@ -11,10 +11,15 @@ TPU-native redesign:
     as one batched projected-Newton call (the fused Pallas kernel on TPU —
     each window's entire solve lives in VMEM).  TV is a local operator: the
     influence of a window boundary decays with distance, so each window's
-    *interior* chunk is near-exact.
+    *interior* chunk is near-exact.  The windows are materialized with pure
+    pad/reshape/concat ops (gathers cost more than the solves at n = 1e6);
+    out-of-range window cells are zero-filled and *exactly decoupled* by
+    zero edge weights, which also gives boundary windows the correct free
+    boundary condition.
 
 2.  **Dual glue.**  The per-window dual vectors are stitched into a global
-    dual estimate (each edge takes the dual of the window that owns it).
+    dual estimate — with uniform window geometry this is a plain slice +
+    reshape (each edge is owned by the window whose interior contains it).
 
 3.  **Certified polish (exact).**  A single warm-started global projected
     Newton run (:func:`proxtv_tpu.ops.tv1d_l1.tv1_pn` with ``w_init``)
@@ -34,19 +39,21 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..utils.config import DEFAULT_TV1, TV1Config
 from . import tv1d_l1
 
 
-def _window_starts(n: int, chunk: int, overlap: int):
-    """Static window geometry: K windows of ``win`` samples whose interiors
-    [k*chunk, (k+1)*chunk) tile [0, n)."""
-    win = chunk + 2 * overlap
-    K = max(1, -(-n // chunk))
-    starts = np.clip(np.arange(K) * chunk - overlap, 0, max(0, n - win))
-    return K, win, starts
+def _windows(a, K: int, chunk: int, overlap: int):
+    """(K, chunk + 2*overlap) overlapped windows of the 1D array ``a`` with
+    zero fill outside [0, len(a)), built from pads/reshapes only (no gather):
+    window k covers global positions [k*chunk - overlap, (k+1)*chunk + overlap)."""
+    total = K * chunk
+    ap = jnp.pad(a, (0, max(0, total + chunk - a.shape[0])))
+    body = ap[:total].reshape(K, chunk)
+    left = jnp.pad(ap, (overlap, 0))[:total].reshape(K, chunk)[:, :overlap]
+    suffix = ap[chunk: total + chunk].reshape(K, chunk)[:, :overlap]
+    return jnp.concatenate([left, body, suffix], axis=1)
 
 
 def _solve_windows(Yw, lam_w):
@@ -93,25 +100,27 @@ def tv1_long(y, lam, chunk: int = 6144, overlap: int = 1024,
                                  cfg=cfg)
         return x[0], info
 
-    K, win, starts_np = _window_starts(n, chunk, overlap)
-    starts = jnp.asarray(starts_np, jnp.int32)
+    K = -(-n // chunk)
+    win = chunk + 2 * overlap
+    Yw = _windows(y, K, chunk, overlap)
 
-    # Gather windows: (K, win) sample index matrix (static geometry).
-    idx = starts[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
-    Yw = y[idx]
+    # Per-window edge weights with out-of-range edges zeroed: a zero weight
+    # decouples the zero-filled padding exactly and gives boundary windows
+    # the true free boundary (relies on the PN zero-weight active-set rule).
+    eg = ((jnp.arange(K, dtype=jnp.int32) * chunk)[:, None]
+          + jnp.arange(win - 1, dtype=jnp.int32)[None, :] - overlap)
+    valid = (eg >= 0) & (eg < n - 1)
     if per_edge:
-        eidx = jnp.minimum(idx[:, : win - 1], n - 2)
-        lam_w = lam[eidx]
+        lam_w = jnp.where(valid, _windows(lam, K, chunk, overlap)[:, :win - 1],
+                          0.0)
     else:
-        lam_w = jnp.broadcast_to(lam, (K, win - 1))
+        lam_w = jnp.where(valid, lam, 0.0)
 
     _, Ww = _solve_windows(Yw, lam_w)
 
-    # Glue the dual: edge j (between samples j, j+1) is owned by the window
-    # whose interior contains sample j; its local index is j - start_k.
-    j = jnp.arange(K * chunk, dtype=jnp.int32).reshape(K, chunk)
-    local = jnp.clip(j - starts[:, None], 0, win - 2)
-    w_glued = jnp.take_along_axis(Ww, local, axis=1).reshape(-1)[: n - 1]
+    # Glue: global edge i is owned by window i // chunk at local index
+    # i - (i//chunk)*chunk + overlap — a plain slice + reshape.
+    w_glued = Ww[:, overlap: overlap + chunk].reshape(-1)[: n - 1]
 
     # Certified polish: global PN warm-started from the glued dual.
     lam_b = lam[None] if per_edge else lam

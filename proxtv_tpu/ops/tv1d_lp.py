@@ -70,31 +70,43 @@ def _common_setup(y, lam, p):
     B, n = y.shape
     dtype = y.dtype
     lamv = _lam_vec(lam, B, dtype)
+    # Center (translation equivariance; dual unchanged — see tv1d_l1.tv1_pn).
+    ybar = jnp.mean(y, axis=-1, keepdims=True)
+    y = y - ybar
     dy = diffs.forward_diff(y)
     q = lp.dual_p(p)
     # Closed-form exit: unconstrained solution inside the ball -> x = mean.
     w0 = tridiag.spd_second_difference_solve(dy)
     interior = (lp_norm(w0, q) <= lamv) & (lamv > 0)
     zero_pen = lamv <= 0
-    return y, B, n, dtype, lamv, dy, q, w0, interior, zero_pen
+    return y, ybar, B, n, dtype, lamv, dy, q, w0, interior, zero_pen
 
 
-def _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running):
+def _finalize(y, ybar, w, lamv, p, interior, zero_pen, w0, iters, running):
     x = diffs.dual2primal(jnp.where(interior[:, None], w0, w), y)
     x = jnp.where(zero_pen[:, None], y, x)
     g = diffs.primal2grad(x)
     gap = jnp.where(interior | zero_pen, 0.0, _gap_tvp(w, g, lamv, p))
     rc = jnp.where(running & ~interior & ~zero_pen, RC_ITERS, RC_OK).astype(jnp.int32)
-    return x, make_info(iters, gap, rc)
+    return x + ybar, make_info(iters, gap, rc)
 
 
-def _run_projected(y, lam, p, cfg, max_iters, momentum):
+def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
+                   mu_init=None, return_state=False):
     """Shared driver for GP / OGP / FISTA: projected (momentum) gradient
-    with per-lane convergence masking under a single ``while_loop``."""
-    y, B, n, dtype, lamv, dy, q, w0, interior, zero_pen = _common_setup(y, lam, p)
+    with per-lane convergence masking under a single ``while_loop``.
+
+    ``w_init`` / ``mu_init`` / ``return_state``: dual + KKT-multiplier warm
+    start threading for combiners (see :func:`_run_fw`)."""
+    (y, ybar, B, n, dtype, lamv, dy, q, w0, interior,
+     zero_pen) = _common_setup(y, lam, p)
     if n == 1:
-        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
-                            jnp.zeros((B,), jnp.int32))
+        info1 = make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                          jnp.zeros((B,), jnp.int32))
+        if return_state:
+            return y + ybar, info1, (jnp.zeros((B, 0), dtype),
+                                     jnp.ones((B,), dtype))
+        return y + ybar, info1
     cap = int(max_iters) if max_iters else cfg.max_iters
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
     # Reference-parity tolerance with a dtype-achievability floor (see tv1d_l2).
@@ -140,23 +152,34 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum):
         *_, iters, running = state
         return jnp.any(running) & (jnp.max(iters) < cap)
 
-    w_init, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    if w_init is None:
+        w_start, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    else:
+        w_start, mu0 = lp.lp_ball_project_ws(jnp.asarray(w_init, dtype),
+                                             lamv, q, mu_init)
     if mu0 is None:
         mu0 = jnp.ones((B,), dtype)
-    x0 = diffs.dual2primal(w_init, y)
-    gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
+    x0 = diffs.dual2primal(w_start, y)
+    gap0 = _gap_tvp(w_start, diffs.primal2grad(x0), lamv, p)
     running0 = (gap0 > tol) & ~interior & ~zero_pen
     t0 = jnp.ones((B,), dtype)
-    w, _, _, _, gap, iters, running = jax.lax.while_loop(
-        cond, body, (w_init, w_init, t0, mu0, gap0,
+    w, _, _, mu, gap, iters, running = jax.lax.while_loop(
+        cond, body, (w_start, w_start, t0, mu0, gap0,
                      jnp.zeros((B,), jnp.int32), running0))
-    return _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running)
+    out = _finalize(y, ybar, w, lamv, p, interior, zero_pen, w0, iters,
+                    running)
+    if return_state:
+        return out + ((w, mu),)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters"))
-def tvp_gp(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters",
+                                              "return_state"))
+def tvp_gp(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0,
+           w_init=None, mu_init=None, return_state: bool = False):
     """Projected-gradient TV-Lp prox (reference GP_TVp)."""
-    return _run_projected(y, lam, p, cfg, max_iters, "gp")
+    return _run_projected(y, lam, p, cfg, max_iters, "gp", w_init=w_init,
+                          mu_init=mu_init, return_state=return_state)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters"))
@@ -182,14 +205,26 @@ def _fw_direction(w, grad, lamv, q):
     return d, gamma, num
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters", "gp_every"))
-def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
+@functools.partial(jax.jit, static_argnames=("p", "cfg", "max_iters",
+                                              "gp_every", "return_state"))
+def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int,
+            w_init=None, mu_init=None, return_state: bool = False):
     """Shared FW / GPFW driver.  ``gp_every == 0`` -> pure FW; otherwise one GP
-    step every ``gp_every`` iterations (reference FW_CYCLES_TVLP = 10)."""
-    y, B, n, dtype, lamv, dy, q, w0, interior, zero_pen = _common_setup(y, lam, p)
+    step every ``gp_every`` iterations (reference FW_CYCLES_TVLP = 10).
+
+    ``w_init`` / ``mu_init``: optional dual vector and KKT-multiplier warm
+    starts (the reference Workspace warm-restart analog); combiners thread
+    them across outer sweeps.  With ``return_state`` the final ``(w, mu)``
+    pair is appended to the return tuple."""
+    (y, ybar, B, n, dtype, lamv, dy, q, w0, interior,
+     zero_pen) = _common_setup(y, lam, p)
     if n == 1:
-        return y, make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
-                            jnp.zeros((B,), jnp.int32))
+        info1 = make_info(jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+                          jnp.zeros((B,), jnp.int32))
+        if return_state:
+            return y + ybar, info1, (jnp.zeros((B, 0), dtype),
+                                     jnp.ones((B,), dtype))
+        return y + ybar, info1
     cap = int(max_iters) if max_iters else cfg.max_iters_fw
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
     tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps
@@ -231,16 +266,25 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int):
         *_, iters, _, running = state
         return jnp.any(running) & (jnp.max(iters) < cap)
 
-    w_init, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    if w_init is None:
+        w_start, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    else:
+        w_start, mu0 = lp.lp_ball_project_ws(jnp.asarray(w_init, dtype),
+                                             lamv, q, mu_init)
     if mu0 is None:
         mu0 = jnp.ones((B,), dtype)
-    x0 = diffs.dual2primal(w_init, y)
-    gap0 = _gap_tvp(w_init, diffs.primal2grad(x0), lamv, p)
+    x0 = diffs.dual2primal(w_start, y)
+    gap0 = _gap_tvp(w_start, diffs.primal2grad(x0), lamv, p)
     running0 = (gap0 > tol) & ~interior & ~zero_pen
-    w, _, gap, iters, _, running = jax.lax.while_loop(
+    w, mu, gap, iters, _, running = jax.lax.while_loop(
         cond, body,
-        (w_init, mu0, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1), running0))
-    return _finalize(y, w, lamv, p, interior, zero_pen, w0, iters, running)
+        (w_start, mu0, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1),
+         running0))
+    out = _finalize(y, ybar, w, lamv, p, interior, zero_pen, w0, iters,
+                    running)
+    if return_state:
+        return out + ((w, mu),)
+    return out
 
 
 def tvp_fw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
@@ -248,14 +292,19 @@ def tvp_fw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
     return _run_fw(y, lam, p, cfg, max_iters, 0)
 
 
-def tvp_gpfw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
+def tvp_gpfw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP,
+             max_iters: int = 0, w_init=None, mu_init=None,
+             return_state: bool = False):
     """Hybrid GP+FW TV-Lp prox, the reference default (GPFW_TVp).
 
     Falls back to pure GP for p > cfg.p_gp_only (reference :1144-1145: the FW
-    oracle's |g|^{p-1} powers are ill-conditioned at large p)."""
+    oracle's |g|^{p-1} powers are ill-conditioned at large p).  ``w_init`` /
+    ``mu_init`` / ``return_state``: warm-start threading for combiners."""
     if p > cfg.p_gp_only:
-        return tvp_gp(y, lam, p, cfg=cfg, max_iters=max_iters)
-    return _run_fw(y, lam, p, cfg, max_iters, cfg.fw_cycles)
+        return tvp_gp(y, lam, p, cfg=cfg, max_iters=max_iters, w_init=w_init,
+                      mu_init=mu_init, return_state=return_state)
+    return _run_fw(y, lam, p, cfg, max_iters, cfg.fw_cycles, w_init=w_init,
+                   mu_init=mu_init, return_state=return_state)
 
 
 def tvp_batched(y, lam, p: float, method: str = "gpfw",

@@ -57,6 +57,47 @@ def test_tv_nd_sharding_invariance(rng):
                                atol=1e-10)
 
 
+def test_tv1_2d_cp_acc_sharded(rng):
+    """Primal-dual methods on a sharded batch take the XLA PDHG path (fused
+    Pallas kernels are single-device and auto-disabled for sharded inputs)."""
+    mesh = parallel.make_mesh()
+    Y = rng.randn(8, 20, 18)
+    x_single, _ = tv2d.tv1_2d_batched(jnp.asarray(Y), 0.4,
+                                      method="chambolle-pock", max_iters=400)
+    x_shard, _ = parallel.tv1_2d_sharded(Y, 0.4, mesh,
+                                         method="chambolle-pock",
+                                         max_iters=400)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-10)
+
+
+def test_tv1w_2d_sharded(rng):
+    """Weighted 2D solve with the image batch sharded over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = parallel.make_mesh()
+    B, M, N = 8, 10, 9
+    Y = rng.randn(B, M, N)
+    Wc = 0.5 + rng.rand(B, M - 1, N)
+    Wr = 0.5 + rng.rand(B, M, N - 1)
+    x_single, _ = tv2d.tv1w_2d_batched(jnp.asarray(Y), jnp.asarray(Wc),
+                                       jnp.asarray(Wr), max_iters=40)
+    sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    Ys, Wcs, Wrs = (jax.device_put(jnp.asarray(a), sh) for a in (Y, Wc, Wr))
+    x_shard, _ = tv2d.tv1w_2d_batched(Ys, Wcs, Wrs, max_iters=40)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-10)
+
+
+def test_use_fused_flag_plumbing(rng):
+    """use_fused=False must give the same result as the default (on CPU both
+    run the XLA path; this asserts the static-arg plumbing traces cleanly)."""
+    Y = jnp.asarray(rng.randn(2, 12, 10))
+    a, _ = tv2d.tv1_2d_batched(Y, 0.4, method="chambolle-pock", max_iters=60)
+    b, _ = tv2d.tv1_2d_batched(Y, 0.4, method="chambolle-pock", max_iters=60,
+                               use_fused=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
 def test_tv2_and_tvp_1d_sharded(rng):
     from proxtv_tpu.ops import tv1d_l2, tv1d_lp
     mesh = parallel.make_mesh()
