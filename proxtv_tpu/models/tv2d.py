@@ -476,7 +476,10 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
         lamc = jnp.asarray(lam, Y.dtype) * vc
         wr = wc = None
 
-    cap_pad = -(-cap // k_steps) * k_steps
+    # Certificate cadence: the gap evaluation costs ~8 canvas passes — at one
+    # check per chunk that is ~40% overhead, so check every ~24 iterations.
+    cpc = max(1, 24 // k_steps)
+    cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
     sched = PK.make_schedule(cap_pad, lam, sigma0, tau0, variant)
 
     # Same-size difference stencils on the (Mp, Np) canvas (kernel convention).
@@ -531,13 +534,20 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
 
     def body(state):
         x, xb, u1, u2, t, gap_b, iters_img, running = state
-        sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
-        x2, xb2, u12, u22 = chunk_call(sd, x, xb, u1, u2)
-        iters_img = iters_img + k_steps * running.astype(jnp.int32)
+
+        def one(_, st):
+            x, xb, u1, u2, t = st
+            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
+            x, xb, u1, u2 = chunk_call(sd, x, xb, u1, u2)
+            return x, xb, u1, u2, t + k_steps
+
+        x2, xb2, u12, u22, t = jax.lax.fori_loop(
+            0, cpc, one, (x, xb, u1, u2, t))
+        iters_img = iters_img + cpc * k_steps * running.astype(jnp.int32)
         gap_new, obj_b, _ = gap_and_primal(u12, u22)
         gap_b = jnp.where(running, gap_new, gap_b)
         running = running & (gap_b > tol_of(obj_b))
-        return x2, xb2, u12, u22, t + k_steps, gap_b, iters_img, running
+        return x2, xb2, u12, u22, t, gap_b, iters_img, running
 
     def cond(state):
         *_, t, gap_b, iters_img, running = state

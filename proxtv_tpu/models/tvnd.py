@@ -192,7 +192,9 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
     v3 = (in_img & (q <= L - 2)).astype(Y.dtype)
     lam1, lam2, lam3 = lam_N * v1, lam_M * v2, lam_L * v3
 
-    cap_pad = -(-cap // k_steps) * k_steps
+    # Certificate cadence (see tv2d._run_pdhg_fused): check every ~24 iters.
+    cpc = max(1, 24 // k_steps)
+    cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
     sched = PK3.make_schedule3(cap_pad, (lam_N, lam_M, lam_L), sigma0, tau0,
                                variant)
 
@@ -241,13 +243,20 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
 
     def body(state):
         x, xb, u1, u2, u3, t, gap_b, iters_img, running = state
-        sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 6))
-        x2, xb2, u12, u22, u32 = chunk_call(sd, x, xb, u1, u2, u3)
-        iters_img = iters_img + k_steps * running.astype(jnp.int32)
+
+        def one(_, st):
+            x, xb, u1, u2, u3, t = st
+            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 6))
+            x, xb, u1, u2, u3 = chunk_call(sd, x, xb, u1, u2, u3)
+            return x, xb, u1, u2, u3, t + k_steps
+
+        x2, xb2, u12, u22, u32, t = jax.lax.fori_loop(
+            0, cpc, one, (x, xb, u1, u2, u3, t))
+        iters_img = iters_img + cpc * k_steps * running.astype(jnp.int32)
         gap_new, obj_b, _ = gap_and_primal(u12, u22, u32)
         gap_b = jnp.where(running, gap_new, gap_b)
         running = running & (gap_b > gtol * jnp.maximum(1.0, obj_b))
-        return x2, xb2, u12, u22, u32, t + k_steps, gap_b, iters_img, running
+        return x2, xb2, u12, u22, u32, t, gap_b, iters_img, running
 
     def cond(state):
         *_, t, gap_b, iters_img, running = state
