@@ -254,7 +254,10 @@ def measure_tpu():
     Y = jnp.asarray(rng.randn(1, M, N).astype(np.float32))
     Yn = np.asarray(Y)[0]
 
-    reps = 5  # amortize the host->device dispatch latency of the tunnel
+    # The axon tunnel costs ~30 ms of fixed dispatch latency per timed block
+    # (pipelined across calls), which at 5 reps inflates a ~10 ms solve by
+    # ~60%; 20 reps keeps the inflation under ~15% for every metric here.
+    reps = 20
 
     f2d = jax.jit(lambda Y: tv2d.tv1_2d_batched(
         Y, LAM, method="chambolle-pock-acc", max_iters=2500)[0])

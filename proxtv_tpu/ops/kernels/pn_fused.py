@@ -71,7 +71,7 @@ def _pcr_masked(m, d, n, early_exit=False):
         d2 = d + alpha * dm + beta * dp
         return a2, alpha * bm, beta * cp, d2
 
-    head = min(3, steps) if early_exit else steps
+    head = min(5, steps) if early_exit else steps
     for k in range(head):
         stride = 1 << k
         if stride >= n:
@@ -102,6 +102,33 @@ def _rowsum(x):
     return jnp.broadcast_to(jnp.sum(x, axis=-1, keepdims=True), x.shape)
 
 
+def _prefix_sum(x, n):
+    """Inclusive prefix sum along lanes (log-shift form, unrolled)."""
+    k = 1
+    while k < n:
+        x = x + _shift_right(x, k, 0.0)
+        k <<= 1
+    return x
+
+
+def _poisson_solve(v, b, n):
+    """Closed-form solve of the unconstrained dual system (DD') w = b on the
+    v-masked edge set (b pre-masked): the second-difference (path-Laplacian)
+    system has the double-prefix-sum solution
+
+        w_j = S_m (j+1)/n - S_{j-1},   S = prefix(prefix(b)),  m = n-1,
+
+    replacing a full-depth PCR (~4x fewer vector ops).  f32 cancellation in
+    the two ~n^1.5-magnitude terms costs ~1e-3 relative — irrelevant for a
+    Newton warm start that is immediately box-clipped."""
+    T = _prefix_sum(b, n) * v
+    S = _prefix_sum(T, n)
+    Sm = _rowsum(T)
+    col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    idx = (col + 1).astype(b.dtype) + 0.0 * b  # dense layout (Mosaic)
+    return (Sm * idx * (1.0 / float(n)) - _shift_right(S, 1, 0.0)) * v
+
+
 def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
     """n = true signal length; n_pad = lane-aligned tile width (mult. of 128).
     Padded columns are carried as masked-out identity rows."""
@@ -127,7 +154,7 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
         if warm:
             w = jnp.clip(w0_ref[:] * v, -lam, lam)
         else:
-            w = jnp.clip(_pcr_masked(v, dy, n_pad), -lam, lam)
+            w = jnp.clip(_poisson_solve(v, dy, n), -lam, lam)
 
         def primal(w):
             return y + (w - _shift_right(w, 1, 0.0))
@@ -148,7 +175,7 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
 
         # NOTE: all row flags (running/found) are float 0/1 (TB, 1) arrays —
         # boolean (TB, 1) while_loop state crashes the Mosaic layout pass.
-        def outer_body(state):
+        def newton_iter(state):
             w, g, x, fval, gap, gap_prev, it, running = state
             # Zero-weight (and padded) edges have both box bounds at 0: they
             # are permanently pinned and must stay out of the inactive set
@@ -162,30 +189,44 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
             d = _pcr_masked(m, g * m, n_pad, early_exit=True) * m
             gRd = _rowsum(g * d * m)
 
-            # Projected halving line search.
-            def ls_body(ls):
-                delta, found, best_w, best_x, best_f, k = ls
-                aux = jnp.where(m > 0, jnp.clip(w - delta * d, -lam, lam), w)
-                xn = primal(aux)
-                fn = _rowsum(xn * xn) * 0.5
-                improve = fval - fn
-                ok = ((improve >= sigma * delta * gRd)
-                      | (improve <= eps_f)).astype(y.dtype)
-                newly = ok * (1.0 - found)
-                best_w = jnp.where(newly > 0, aux, best_w)
-                best_x = jnp.where(newly > 0, xn, best_x)
-                best_f = jnp.where(newly > 0, fn, best_f)
-                found = jnp.maximum(found, ok)
-                return delta * 0.5, found, best_w, best_x, best_f, k + 1
+            # Projected line search.  delta = 1 is the EXACT minimizer of the
+            # reduced quadratic (d solves the inactive-set Newton system), so
+            # absent box clipping the Armijo test passes immediately:
+            # improve(1) = 0.5 g'd >= sigma g'd.  Trial it for all lanes and
+            # enter the unrolled halving fallback behind ONE branch point only
+            # if clipping broke some lane (a per-trial while_loop whose cond
+            # reduces found every step stalls the vector pipeline ~20x).
+            aux1 = jnp.where(m > 0, jnp.clip(w - d, -lam, lam), w)
+            x1 = primal(aux1)
+            f1 = _rowsum(x1 * x1) * 0.5
+            ok1 = (((fval - f1) >= sigma * gRd)
+                   | ((fval - f1) <= eps_f)).astype(y.dtype)
+            best0 = (jnp.where(ok1 > 0, aux1, w),
+                     jnp.where(ok1 > 0, x1, x),
+                     jnp.where(ok1 > 0, f1, fval), ok1)
 
-            def ls_cond(ls):
-                _, found, _, _, _, k = ls
-                return (jnp.min(found) < 1.0) & (k < max_armijo)
+            def ls_fallback(best):
+                best_w, best_x, best_f, found = best
+                delta = 0.5
+                for _ in range(max_armijo - 1):
+                    aux = jnp.where(m > 0,
+                                    jnp.clip(w - delta * d, -lam, lam), w)
+                    xn = primal(aux)
+                    fn = _rowsum(xn * xn) * 0.5
+                    improve = fval - fn
+                    ok = ((improve >= sigma * delta * gRd)
+                          | (improve <= eps_f)).astype(y.dtype)
+                    newly = ok * (1.0 - found)
+                    best_w = jnp.where(newly > 0, aux, best_w)
+                    best_x = jnp.where(newly > 0, xn, best_x)
+                    best_f = jnp.where(newly > 0, fn, best_f)
+                    found = jnp.maximum(found, ok)
+                    delta *= 0.5
+                return best_w, best_x, best_f, found
 
-            one = jnp.ones_like(fval)
-            found0 = jnp.zeros_like(fval)
-            _, _, w_new, x_new, f_new, _ = jax.lax.while_loop(
-                ls_cond, ls_body, (one, found0, w, x, fval, jnp.int32(0)))
+            need_ls = jnp.min(ok1) < 1.0
+            w_new, x_new, f_new, _ = jax.lax.cond(
+                need_ls, ls_fallback, lambda b: b, best0)
 
             g_new = grad(x_new)
             gap_new = gap_of(w_new, g_new)
@@ -201,6 +242,13 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
                        * (gap > tol).astype(y.dtype)
                        * (jnp.abs(gap - gap_prev_out) > eps_gap).astype(y.dtype))
             return w, g, x, fval, gap, gap_prev_out, it, running
+
+        def outer_body(state):
+            # Two Newton iterations per while body: the cond's scalar
+            # reduction of `running` drains the vector pipeline, so halve its
+            # frequency (converged lanes are where()-gated, and `it` may
+            # overshoot the cap by one — it only feeds the cap test).
+            return newton_iter(newton_iter(state))
 
         def outer_cond(state):
             *_, it, running = state
