@@ -40,7 +40,8 @@ L3, M3, N3 = 32, 256, 256
 BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_1d_signals_s",
              "ref_1d_batch_signals_s", "ref_1dw_signals_s", "ref_l2_signals_s",
              "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_2dw_mpx_s",
-             "ref_3d_mpx_s", "ref_long1d_ms", "ref_threads"]
+             "ref_2dw_obj", "ref_3d_mpx_s", "ref_3d_obj", "ref_long1d_ms",
+             "ref_threads"]
 
 
 def log(*a):
@@ -195,19 +196,36 @@ def measure_reference():
         out[key] = BLP / (time.time() - t0)
 
     # ---- weighted 2D (DR2L1W_TV, OpenMP all cores) ----
-    Wc = np.ascontiguousarray(0.5 + rng.rand(M - 1, N))  # fortran vs C: square
+    # The reference reads buffers in Fortran order; ravel the natural (C
+    # order) instance accordingly so reference and TPU solve the SAME
+    # problem, and record the reference's achieved objective (the TPU side
+    # runs to this target — BASELINE.md: equal objective vs the reference).
+    Wc = np.ascontiguousarray(0.5 + rng.rand(M - 1, N))
     Wr = np.ascontiguousarray(0.5 + rng.rand(M, N - 1))
-    Xw = np.zeros_like(Y)
+    Yf = np.asfortranarray(Y).ravel(order="F").copy()
+    Wcf = np.asfortranarray(Wc).ravel(order="F").copy()
+    Wrf = np.asfortranarray(Wr).ravel(order="F").copy()
+    Xwf = np.zeros_like(Yf)
     t0 = time.time()
-    lib.DR2L1W_TV(M, N, P(Y), P(Wc), P(Wr), P(Xw), nthreads, 35, P(info))
+    lib.DR2L1W_TV(M, N, P(Yf), P(Wcf), P(Wrf), P(Xwf), nthreads, 35, P(info))
     out["ref_2dw_mpx_s"] = M * N / 1e6 / (time.time() - t0)
+    Xw = Xwf.reshape(M, N, order="F")
+    out["ref_2dw_obj"] = float(
+        0.5 * np.sum((Xw - Y) ** 2)
+        + np.sum(Wc * np.abs(np.diff(Xw, axis=0)))
+        + np.sum(Wr * np.abs(np.diff(Xw, axis=1))))
 
     # ---- 3D (Yang3_TV) ----
     V = np.ascontiguousarray(rng.randn(L3, M3, N3))
-    XV = np.zeros_like(V)
+    Vf = np.asfortranarray(V).ravel(order="F").copy()
+    XVf = np.zeros_like(Vf)
     t0 = time.time()
-    lib.Yang3_TV(L3, M3, N3, P(V), 0.3, P(XV), 35, P(info))
+    lib.Yang3_TV(L3, M3, N3, P(Vf), 0.3, P(XVf), 35, P(info))
     out["ref_3d_mpx_s"] = L3 * M3 * N3 / 1e6 / (time.time() - t0)
+    XV = XVf.reshape(L3, M3, N3, order="F")
+    out["ref_3d_obj"] = float(
+        0.5 * np.sum((XV - V) ** 2)
+        + 0.3 * sum(np.abs(np.diff(XV, axis=a)).sum() for a in range(3)))
 
     # ---- single huge 1D signal (sequential scan, the reference's headline) --
     ylong = np.ascontiguousarray(np.cumsum(rng.randn(NLONG)) * 0.05
@@ -243,7 +261,7 @@ def get_baseline():
 # ---------------------------------------------------------------------------
 
 
-def measure_tpu():
+def measure_tpu(base):
     import jax
     import jax.numpy as jnp
 
@@ -283,12 +301,12 @@ def measure_tpu():
     _ = np.asarray(x1.ravel()[:1])
     t_1d = (time.time() - t0) / reps
 
-    def timed(f, *args):
-        r = f(*args)
+    def timed(f, *args, **kw):
+        r = f(*args, **kw)
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
         t0 = time.time()
         for _i in range(reps):
-            r = f(*args)
+            r = f(*args, **kw)
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
         return (time.time() - t0) / reps
 
@@ -306,18 +324,53 @@ def measure_tpu():
     t_lp3 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 3.0)[0]),
                   Y1[:512])
 
+    # Weighted 2D and 3D: equal-objective mode (BASELINE.md contract — run to
+    # the reference's achieved objective; the per-image duality-gap
+    # certificate still applies as the stricter alternative stop).
+    import functools
+
+    from proxtv_tpu.utils.config import DEFAULT_COMBINER
+
     Wc2 = jnp.asarray((0.5 + rng.rand(1, M - 1, N)).astype(np.float32))
     Wr2 = jnp.asarray((0.5 + rng.rand(1, M, N - 1)).astype(np.float32))
-    t_2dw = timed(jax.jit(lambda Y, Wc, Wr: tv2d.tv1w_2d_batched(
-        Y, Wc, Wr, method="chambolle-pock-acc", max_iters=2500)[0]),
-        Y, Wc2, Wr2)
+    obj_2dw = None
+    if jax.default_backend() == "tpu" and base.get("ref_2dw_obj"):
+        tgt = jnp.asarray([base["ref_2dw_obj"]], jnp.float32)
+        f2dw = jax.jit(functools.partial(
+            tv2d._run_pdhg_fused, lam=0.0, cap=2500,
+            tol=DEFAULT_COMBINER.stop, cfg=DEFAULT_COMBINER,
+            variant="cp-acc"))
+        with tv2d._fused_ctx(True):
+            t_2dw = timed(f2dw, Y, W_col=Wc2, W_row=Wr2, obj_target=tgt)
+            Xw, _ = f2dw(Y, W_col=Wc2, W_row=Wr2, obj_target=tgt)
+        Xwn, Wcn, Wrn = np.asarray(Xw)[0], np.asarray(Wc2)[0], np.asarray(Wr2)[0]
+        obj_2dw = float(0.5 * np.sum((Xwn - Yn) ** 2)
+                        + np.sum(Wcn * np.abs(np.diff(Xwn, axis=0)))
+                        + np.sum(Wrn * np.abs(np.diff(Xwn, axis=1))))
+    else:
+        t_2dw = timed(jax.jit(lambda Y, Wc, Wr: tv2d.tv1w_2d_batched(
+            Y, Wc, Wr, method="chambolle-pock-acc", max_iters=2500)[0]),
+            Y, Wc2, Wr2)
 
     V = jnp.asarray(rng.randn(1, L3, M3, N3).astype(np.float32))
-    meth3d = ("chambolle-pock-acc" if jax.default_backend() == "tpu"
-              else "yang")
-    t_3d = timed(jax.jit(lambda V: tvnd.tv_nd_batched(
-        V, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0),
-        method=meth3d, max_iters=2500)[0]), V)
+    obj_3d = None
+    if jax.default_backend() == "tpu" and base.get("ref_3d_obj"):
+        tgt3 = jnp.asarray([base["ref_3d_obj"]], jnp.float32)
+        f3d = jax.jit(functools.partial(
+            tvnd._run_pdhg3d_fused, lams_by_dim=(0.3, 0.3, 0.3), cap=2500,
+            cfg=DEFAULT_COMBINER, variant="cp-acc"))
+        t_3d = timed(f3d, V, obj_target=tgt3)
+        XV, _ = f3d(V, obj_target=tgt3)
+        XVn, Vn = np.asarray(XV)[0], np.asarray(V)[0]
+        obj_3d = float(0.5 * np.sum((XVn - Vn) ** 2)
+                       + 0.3 * sum(np.abs(np.diff(XVn, axis=a)).sum()
+                                   for a in range(3)))
+    else:
+        meth3d = ("chambolle-pock-acc" if jax.default_backend() == "tpu"
+                  else "yang")
+        t_3d = timed(jax.jit(lambda V: tvnd.tv_nd_batched(
+            V, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0),
+            method=meth3d, max_iters=2500)[0]), V)
 
     # Single huge 1D signal, TPU-resident path.
     from proxtv_tpu.ops import tv1d_long
@@ -335,7 +388,9 @@ def measure_tpu():
         "tpu_lp15_signals_s": 512 / t_lp15,
         "tpu_lp3_signals_s": 512 / t_lp3,
         "tpu_2dw_mpx_s": M * N / 1e6 / t_2dw,
+        "tpu_2dw_obj": obj_2dw,
         "tpu_3d_mpx_s": L3 * M3 * N3 / 1e6 / t_3d,
+        "tpu_3d_obj": obj_3d,
         "tpu_long1d_ms": t_long * 1e3,
     }
 
@@ -348,7 +403,7 @@ def _ratio(a, b):
 
 def main():
     base = get_baseline()
-    ours = measure_tpu()
+    ours = measure_tpu(base)
     log("baseline:", base)
     log("ours:", ours)
     # Equal-quality guard: our objective must not exceed the reference's
@@ -384,9 +439,15 @@ def main():
             "tpu_2d_weighted_mpx_s": round(ours["tpu_2dw_mpx_s"], 2),
             "vs_baseline_2dw": _ratio(ours["tpu_2dw_mpx_s"],
                                       base["ref_2dw_mpx_s"]),
+            "objective_2dw_ok": (None if ours["tpu_2dw_obj"] is None else
+                                 bool(ours["tpu_2dw_obj"] <=
+                                      base["ref_2dw_obj"] * (1 + 1e-4))),
             "tpu_3d_yang_mpx_s": round(ours["tpu_3d_mpx_s"], 2),
             "vs_baseline_3d": _ratio(ours["tpu_3d_mpx_s"],
                                      base["ref_3d_mpx_s"]),
+            "objective_3d_ok": (None if ours["tpu_3d_obj"] is None else
+                                bool(ours["tpu_3d_obj"] <=
+                                     base["ref_3d_obj"] * (1 + 1e-4))),
             "tpu_long1d_ms": round(long_ms, 2) if long_ms else None,
             "ref_long1d_ms": (round(base["ref_long1d_ms"], 2)
                               if base.get("ref_long1d_ms") else None),

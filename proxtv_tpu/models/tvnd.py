@@ -142,7 +142,8 @@ def _pdhg3d_fused_ok(Y, ds, ps):
             and Y.shape[-1] <= 2048 and jax.default_backend() == "tpu")
 
 
-def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
+def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
+                      obj_target=None):
     """Driver for the temporally-blocked 3D PDHG kernel: volumes stacked
     along L with decoupled gap layers; stops on the per-volume duality-gap
     certificate (see tv2d._run_pdhg_fused — same contract, three dual fields).
@@ -166,10 +167,12 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
     Mp = mtiles * tm + 2 * hm
 
     if variant == "cp-acc":
+        from .tv2d import _pdhg_sigma_schedule
         lam_eff = jnp.maximum(jnp.maximum(lam_L, lam_M), lam_N)
-        sigma0 = 0.5 * jnp.maximum(1.0, lam_eff)
+        sigma0, cap_mult = _pdhg_sigma_schedule(Y, lam_eff, Y.dtype)
     else:
         sigma0 = jnp.asarray(cfg.cp_sigma, Y.dtype)
+        cap_mult = 2.0
     tau0 = 0.9 / (12.0 * sigma0)  # ||D||^2 <= 12 for three dualized axes
 
     def canvas(A):
@@ -196,7 +199,7 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
     cpc = max(1, 24 // k_steps)
     cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
     sched = PK3.make_schedule3(cap_pad, (lam_N, lam_M, lam_L), sigma0, tau0,
-                               variant)
+                               variant, cap_mult=cap_mult)
 
     def dT(U, axis):
         z = jnp.zeros_like(jnp.take(U, jnp.arange(1), axis=axis))
@@ -235,6 +238,16 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
     else:
         gtol = jnp.asarray(gap_tol, Y.dtype)  # explicit (0 = run to cap)
 
+    # Equal-quality mode (see tv2d._run_pdhg_fused): per-volume objective
+    # target stops an image once its certified iterate reaches it.
+    if obj_target is None:
+        obj_tgt = jnp.full((B,), -jnp.inf, Y.dtype)
+    else:
+        obj_tgt = jnp.broadcast_to(jnp.asarray(obj_target, Y.dtype), (B,))
+
+    def still_running(gap_b, obj_b):
+        return (gap_b > gtol * jnp.maximum(1.0, obj_b)) & (obj_b > obj_tgt)
+
     def chunk_call(sd, x, xb, u1, u2, u3):
         return PK3.pdhg3d_chunk(sd, x, xb, u1, u2, u3, Ypad, k_steps=k_steps,
                                 tl=tl, tm=tm, n_valid=N, m_valid=M, l_valid=L,
@@ -255,7 +268,7 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
         iters_img = iters_img + cpc * k_steps * running.astype(jnp.int32)
         gap_new, obj_b, _ = gap_and_primal(u12, u22, u32)
         gap_b = jnp.where(running, gap_new, gap_b)
-        running = running & (gap_b > gtol * jnp.maximum(1.0, obj_b))
+        running = running & still_running(gap_b, obj_b)
         return x2, xb2, u12, u22, u32, t, gap_b, iters_img, running
 
     def cond(state):
@@ -271,7 +284,7 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None):
 
     gap_b, obj_b, xhat = gap_and_primal(u1, u2, u3)
     out = xhat[hl:hl + B * S].reshape(B, S, Mp, Np)[:, :L, hm:hm + M, :N]
-    rc = jnp.where(gap_b > gtol * jnp.maximum(1.0, obj_b), RC_ITERS,
+    rc = jnp.where(still_running(gap_b, obj_b), RC_ITERS,
                    RC_OK).astype(jnp.int32)
     return out, make_info(iters_img, gap_b, rc)
 
