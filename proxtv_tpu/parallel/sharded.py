@@ -77,6 +77,67 @@ def tv1_2d_sharded(Y, lam, mesh: Mesh, method: str = "dr", max_iters: int = 0,
     return tv2d.tv1_2d_batched(Ys, lam, method=method, max_iters=max_iters)
 
 
+def tv1_2d_sharded_fused(Y, lam, mesh: Mesh,
+                         method: str = "chambolle-pock-acc",
+                         max_iters: int = 0):
+    """Batch-sharded 2D TV-L1 with the fused Pallas engine running PER DEVICE.
+
+    ``shard_map`` hands each device its own (B/n, M, N) sub-batch, inside
+    which the single-device fused kernel (or the XLA engine off-TPU) runs
+    unmodified — the ``pallas_call`` never sees a sharded operand, there is
+    no communication during the solve, and each device stops on its own
+    sub-batch's duality-gap certificates instead of a global lock-step
+    convergence vote.  This is the multi-chip analog of the reference's
+    per-thread Workspace pools (src/utils.cpp:206): perfectly parallel work,
+    device-local state.  Requires B divisible by the mesh size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    Y = jnp.asarray(Y)
+    n = int(mesh.devices.size)
+    if Y.shape[0] % n:
+        raise ValueError(f"batch {Y.shape[0]} not divisible by mesh size {n}")
+    lam = jnp.asarray(lam, Y.dtype)
+
+    def solve(Ys):
+        return tv2d.tv1_2d_batched(Ys, lam, method=method,
+                                   max_iters=max_iters, use_fused=True)
+
+    f = shard_map(solve, mesh=mesh, in_specs=(P(axis, None, None),),
+                  out_specs=(P(axis, None, None), P(axis)),
+                  check_rep=False)
+    return jax.jit(f)(_shard(Y, mesh, P(axis, None, None)))
+
+
+def tv1w_2d_sharded_fused(Y, W_col, W_row, mesh: Mesh,
+                          method: str = "chambolle-pock-acc",
+                          max_iters: int = 0):
+    """Weighted variant of :func:`tv1_2d_sharded_fused` (per-edge weight
+    fields sharded with the batch)."""
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    Y = jnp.asarray(Y)
+    n = int(mesh.devices.size)
+    if Y.shape[0] % n:
+        raise ValueError(f"batch {Y.shape[0]} not divisible by mesh size {n}")
+
+    def solve(Ys, Wc, Wr):
+        # use_fused=True: the per-path gates still fall back to XLA engines
+        # off-TPU; the weighted cp-acc family itself requires the TPU kernel
+        # (use method='dr'/'pd' on other backends).
+        return tv2d.tv1w_2d_batched(Ys, Wc, Wr, method=method,
+                                    max_iters=max_iters, use_fused=True)
+
+    spec = P(axis, None, None)
+    f = shard_map(solve, mesh=mesh, in_specs=(spec, spec, spec),
+                  out_specs=(spec, P(axis)), check_rep=False)
+    return jax.jit(f)(_shard(jnp.asarray(Y), mesh, spec),
+                      _shard(jnp.asarray(W_col, Y.dtype), mesh, spec),
+                      _shard(jnp.asarray(W_row, Y.dtype), mesh, spec))
+
+
 def tv_nd_sharded(Y, ws, ds, ps, mesh: Mesh, max_iters: int = 0,
                   method: str = "pd"):
     """Batched ND generalized TV with batch sharded over the mesh."""

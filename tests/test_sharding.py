@@ -98,6 +98,41 @@ def test_use_fused_flag_plumbing(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
+def test_tv1_2d_sharded_fused_shardmap(rng):
+    """shard_map per-device fused path: each device solves its own sub-batch
+    with the single-device engine (XLA fallback on CPU; the pallas_call on
+    TPU) — results must match the unsharded solve and report per-image info."""
+    mesh = parallel.make_mesh()
+    Y = rng.randn(8, 16, 14).astype(np.float32)
+    x_single, info_s = tv2d.tv1_2d_batched(jnp.asarray(Y), 0.4,
+                                           method="chambolle-pock",
+                                           max_iters=200)
+    x_shard, info = parallel.tv1_2d_sharded_fused(Y, 0.4, mesh,
+                                                  method="chambolle-pock",
+                                                  max_iters=200)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-5)
+    assert np.asarray(info.iters).shape == (8,)
+    with pytest.raises(ValueError, match="divisible"):
+        parallel.tv1_2d_sharded_fused(Y[:6], 0.4, mesh)
+
+
+def test_tv1w_2d_sharded_fused_shardmap(rng):
+    mesh = parallel.make_mesh()
+    B, M, N = 8, 12, 10
+    Y = rng.randn(B, M, N).astype(np.float32)
+    Wc = (0.5 + rng.rand(B, M - 1, N)).astype(np.float32)
+    Wr = (0.5 + rng.rand(B, M, N - 1)).astype(np.float32)
+    x_single, _ = tv2d.tv1w_2d_batched(jnp.asarray(Y), jnp.asarray(Wc),
+                                       jnp.asarray(Wr), method="dr",
+                                       max_iters=40)
+    x_shard, info = parallel.tv1w_2d_sharded_fused(Y, Wc, Wr, mesh,
+                                                   method="dr", max_iters=40)
+    np.testing.assert_allclose(np.asarray(x_shard), np.asarray(x_single),
+                               atol=1e-5)
+    assert np.asarray(info.rc).shape == (B,)
+
+
 def test_tv2_and_tvp_1d_sharded(rng):
     from proxtv_tpu.ops import tv1d_l2, tv1d_lp
     mesh = parallel.make_mesh()
