@@ -91,7 +91,7 @@ def tv1_2d_sharded_fused(Y, lam, mesh: Mesh,
     per-thread Workspace pools (src/utils.cpp:206): perfectly parallel work,
     device-local state.  Requires B divisible by the mesh size.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     axis = mesh.axis_names[0]
     Y = jnp.asarray(Y)
@@ -106,7 +106,8 @@ def tv1_2d_sharded_fused(Y, lam, mesh: Mesh,
 
     f = shard_map(solve, mesh=mesh, in_specs=(P(axis, None, None),),
                   out_specs=(P(axis, None, None), P(axis)),
-                  check_rep=False)
+                  check_vma=False,
+)
     return jax.jit(f)(_shard(Y, mesh, P(axis, None, None)))
 
 
@@ -115,7 +116,7 @@ def tv1w_2d_sharded_fused(Y, W_col, W_row, mesh: Mesh,
                           max_iters: int = 0):
     """Weighted variant of :func:`tv1_2d_sharded_fused` (per-edge weight
     fields sharded with the batch)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     axis = mesh.axis_names[0]
     Y = jnp.asarray(Y)
@@ -132,7 +133,7 @@ def tv1w_2d_sharded_fused(Y, W_col, W_row, mesh: Mesh,
 
     spec = P(axis, None, None)
     f = shard_map(solve, mesh=mesh, in_specs=(spec, spec, spec),
-                  out_specs=(spec, P(axis)), check_rep=False)
+                  out_specs=(spec, P(axis)), check_vma=False)
     return jax.jit(f)(_shard(jnp.asarray(Y), mesh, spec),
                       _shard(jnp.asarray(W_col, Y.dtype), mesh, spec),
                       _shard(jnp.asarray(W_row, Y.dtype), mesh, spec))

@@ -133,6 +133,36 @@ def test_tv1w_2d_sharded_fused_shardmap(rng):
     assert np.asarray(info.rc).shape == (B,)
 
 
+def test_collective_structure(rng):
+    """Pin the communication structure GSPMD produces (docs/SCALING.md):
+    batch-DP solves move no array data between devices (scalar convergence
+    all-reduces only), and the shard_map fused path has no collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = parallel.make_mesh()
+    ax = mesh.axis_names[0]
+
+    def hlo(fn, *args):
+        return jax.jit(fn).lower(*args).compile().as_text()
+
+    Y2 = jax.device_put(jnp.asarray(rng.randn(8, 32, 32).astype(np.float32)),
+                        NamedSharding(mesh, P(ax, None, None)))
+    txt = hlo(lambda y: tv2d.tv1_2d_batched(y, 0.3, max_iters=10,
+                                            use_fused=False)[0], Y2)
+    for op in ("all-to-all", "all-gather", "collective-permute",
+               "reduce-scatter"):
+        assert op + "(" not in txt, f"batch-DP solve moves data via {op}"
+
+    f = jax.shard_map(
+        lambda y: tv2d.tv1_2d_batched(y, 0.3, method="chambolle-pock",
+                                      max_iters=10, use_fused=True)[0],
+        mesh=mesh, in_specs=(P(ax, None, None),),
+        out_specs=P(ax, None, None), check_vma=False)
+    txt = hlo(f, Y2)
+    for op in ("all-reduce", "all-to-all", "all-gather", "collective-permute",
+               "reduce-scatter"):
+        assert op + "(" not in txt, f"shard_map path contains {op}"
+
+
 def test_tv2_and_tvp_1d_sharded(rng):
     from proxtv_tpu.ops import tv1d_l2, tv1d_lp
     mesh = parallel.make_mesh()
