@@ -40,60 +40,68 @@ def _shift_left(x, s, fill):
     return jnp.concatenate([x[..., s:], pad], axis=-1)
 
 
-def _pcr_masked(m, d, n, early_exit=False):
+def _pcr_masked(m, d, n, head_steps=32, tail_live=None):
     """Solve the m-masked second-difference system (identity on masked-out
     rows, zero RHS there); m is a float 0/1 mask of active rows.
 
-    ``early_exit``: stop as soon as every off-diagonal is eliminated.  After
-    the active-set mask decouples the system into short inactive runs (the
-    typical Newton-phase state: solution segments are a few samples long),
-    the off-diagonals vanish after ~log2(longest run) steps instead of
-    log2(n) — worth ~3-5x on the Newton phase.  The unmasked init solve must
-    run the full depth (early_exit=False)."""
+    Normalized parallel cyclic reduction: the diagonal is renormalized to 1
+    after every step, so each step needs 6 lane-shifts and ONE divide (the
+    textbook form needs 8 shifts and two) and the final solve is ``d`` itself.
+    The system is diagonally dominant, so the normalized off-diagonals stay
+    bounded by 1/2 and the renormalizing pivot by [1/2, 3/2] — stable in f32.
+
+    ``head_steps`` bounds the unconditionally-unrolled depth: after the
+    active-set mask decouples the system into short inactive runs (the typical
+    Newton-phase state: solution segments are a few samples long), runs of
+    length < 2**head are solved EXACTLY; longer runs get a truncated
+    (inexact-Newton) direction that the projected line search still turns
+    into monotone descent.  ``tail_live`` (traced scalar bool) runs the
+    remaining full-depth tail behind a single branch point — the caller
+    raises it when progress stalls, which certifies exact directions without
+    paying full depth on every iteration (a per-step liveness reduction
+    would stall the vector pipeline ~20x)."""
     b = -(m * _shift_right(m, 1, 0.0))
-    a = 1.0 + m
     c = _shift_left(b, 1, 0.0)
-    d = m * d
+    r = 1.0 / (1.0 + m)
+    b = b * r
+    c = c * r
+    d = (m * d) * r
     steps = max(1, math.ceil(math.log2(n)))
 
-    def pcr_step(stride, a, b, c, d):
-        am = _shift_right(a, stride, 1.0)
-        ap = _shift_left(a, stride, 1.0)
+    def pcr_step(stride, b, c, d, last=False):
         bm = _shift_right(b, stride, 0.0)
         bp = _shift_left(b, stride, 0.0)
         cm = _shift_right(c, stride, 0.0)
         cp = _shift_left(c, stride, 0.0)
         dm = _shift_right(d, stride, 0.0)
         dp = _shift_left(d, stride, 0.0)
-        alpha = -b / am
-        beta = -c / ap
-        a2 = a + alpha * cm + beta * bp
-        d2 = d + alpha * dm + beta * dp
-        return a2, alpha * bm, beta * cp, d2
+        r = 1.0 / (1.0 - b * cm - c * bp)
+        d2 = (d - b * dm - c * dp) * r
+        if last:  # b, c dead after the final step
+            return b, c, d2
+        return (-b * bm) * r, (-c * cp) * r, d2
 
-    head = min(5, steps) if early_exit else steps
+    head = min(head_steps, steps)
+    has_tail = tail_live is not None and (1 << head) < n
     for k in range(head):
         stride = 1 << k
         if stride >= n:
-            return d / a
-        a, b, c, d = pcr_step(stride, a, b, c, d)
+            return d
+        last = (k == head - 1) and not has_tail
+        b, c, d = pcr_step(stride, b, c, d, last=last)
 
-    if early_exit and (1 << head) < n:
-        # One branch point, not one per step (a per-step while_loop reduction
-        # stalls the vector pipeline ~20x): if any off-diagonal survives the
-        # unrolled head, run the whole remaining unrolled tail.
+    if has_tail:
         def tail(ops):
-            a, b, c, d = ops
+            b, c, d = ops
             for k in range(head, steps):
                 stride = 1 << k
                 if stride >= n:
                     break
-                a, b, c, d = pcr_step(stride, a, b, c, d)
-            return a, b, c, d
+                b, c, d = pcr_step(stride, b, c, d, last=(stride * 2 >= n))
+            return b, c, d
 
-        live = jnp.max(jnp.abs(b) + jnp.abs(c)) > 0.0
-        a, b, c, d = jax.lax.cond(live, tail, lambda ops: ops, (a, b, c, d))
-    return d / a
+        b, c, d = jax.lax.cond(tail_live, tail, lambda ops: ops, (b, c, d))
+    return d
 
 
 def _rowsum(x):
@@ -129,15 +137,22 @@ def _poisson_solve(v, b, n):
     return (Sm * idx * (1.0 / float(n)) - _shift_right(S, 1, 0.0)) * v
 
 
-def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
+def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
+                 head_steps=4, lam_scalar=False):
     """n = true signal length; n_pad = lane-aligned tile width (mult. of 128).
-    Padded columns are carried as masked-out identity rows."""
+    Padded columns are carried as masked-out identity rows.  With
+    ``lam_scalar`` the penalty arrives as a single SMEM scalar instead of a
+    (TB, n) HBM field (saves one full-batch HBM stream for the common
+    uniform-penalty case)."""
 
     def kernel(*refs):
+        w_ref = None
         if warm:
-            y_ref, lam_ref, w0_ref, x_ref, w_ref = refs
+            y_ref, lam_ref, w0_ref, x_ref, *rest = refs
         else:
-            y_ref, lam_ref, x_ref, w_ref = refs
+            y_ref, lam_ref, x_ref, *rest = refs
+        if rest:
+            (w_ref,) = rest
         y = y_ref[:]
         col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
         # valid-edge mask; the + 0*y forces a dense vreg layout — shifting an
@@ -148,7 +163,7 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
         # stopping scale become DC-offset invariant (crucial in f32).
         ybar = _rowsum(y) / float(n)
         y = y - ybar
-        lam = lam_ref[:] * v
+        lam = (lam_ref[0, 0] if lam_scalar else lam_ref[:]) * v
         dy = (_shift_left(y, 1, 0.0) - y) * v
 
         if warm:
@@ -173,10 +188,13 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
         def gap_of(w, g):
             return jnp.abs(_rowsum(jnp.abs(g) * lam + w * g))
 
-        # NOTE: all row flags (running/found) are float 0/1 (TB, 1) arrays —
-        # boolean (TB, 1) while_loop state crashes the Mosaic layout pass.
+        # NOTE: all row flags (running/found/mode) are float 0/1 (TB, 1)-
+        # broadcast arrays — boolean (TB, 1) while_loop state crashes the
+        # Mosaic layout pass.  ``exact_any`` is a scalar mirror of ``mode``
+        # computed one iteration behind, so the PCR tail branch predicate
+        # never depends on a same-iteration vector reduction.
         def newton_iter(state):
-            w, g, x, fval, gap, gap_prev, it, running = state
+            w, g, x, fval, gap, gap_prev, it, running, mode, exact_any = state
             # Zero-weight (and padded) edges have both box bounds at 0: they
             # are permanently pinned and must stay out of the inactive set
             # (see tv1d_l1.tv1_pn inactive_mask).
@@ -186,7 +204,8 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
                      | ((w == lam) & (g > _EPS))))
             m = mI.astype(y.dtype) * v
             any_inact = (_rowsum(m) > 0).astype(y.dtype)
-            d = _pcr_masked(m, g * m, n_pad, early_exit=True) * m
+            d = _pcr_masked(m, g * m, n_pad, head_steps=head_steps,
+                            tail_live=exact_any > 0) * m
             gRd = _rowsum(g * d * m)
 
             # Projected line search.  delta = 1 is the EXACT minimizer of the
@@ -238,27 +257,29 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
             gap_prev_out = jnp.where(act > 0, gap, gap_prev)
             gap = jnp.where(act > 0, gap_new, gap)
             it = it + 1
+            # Stalled lanes (gap no longer moving but above tol): promote the
+            # tile to exact-direction mode and keep iterating; only a lane
+            # that stalls WHILE ALREADY exact stops (true RC_STUCK).  Lanes
+            # whose truncated direction was exact never pay the tail.
+            stuck = ((gap > tol)
+                     & (jnp.abs(gap - gap_prev_out) <= eps_gap)).astype(y.dtype)
             running = (running * any_inact
                        * (gap > tol).astype(y.dtype)
-                       * (jnp.abs(gap - gap_prev_out) > eps_gap).astype(y.dtype))
-            return w, g, x, fval, gap, gap_prev_out, it, running
-
-        def outer_body(state):
-            # Two Newton iterations per while body: the cond's scalar
-            # reduction of `running` drains the vector pipeline, so halve its
-            # frequency (converged lanes are where()-gated, and `it` may
-            # overshoot the cap by one — it only feeds the cap test).
-            return newton_iter(newton_iter(state))
+                       * (1.0 - stuck * mode))
+            mode = jnp.maximum(mode, stuck * running)
+            return (w, g, x, fval, gap, gap_prev_out, it, running, mode,
+                    jnp.max(mode))
 
         def outer_cond(state):
-            *_, it, running = state
+            *_, it, running, _mode, _exact_any = state
             return (jnp.max(running) > 0) & (it < max_iters)
 
         gap0 = gap_of(w, g)
         running0 = (gap0 > tol).astype(y.dtype)
         state = (w, g, x, fval, gap0, jnp.full_like(gap0, -jnp.inf),
-                 jnp.int32(0), running0)
-        w, g, x, *_ = jax.lax.while_loop(outer_cond, outer_body, state)
+                 jnp.int32(0), running0, jnp.zeros_like(gap0),
+                 jnp.float32(0.0))
+        w, g, x, *_ = jax.lax.while_loop(outer_cond, newton_iter, state)
 
         # Degenerate guards (see tv1d_l1._apply_degenerate_guards): zero
         # penalty -> identity; enormous penalty -> mean (= 0 after centering).
@@ -272,7 +293,8 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm):
         x = jnp.where(huge, 0.0, x)
         x = jnp.where(allz, y, x)
         x_ref[:] = x + ybar
-        w_ref[:] = w * v
+        if w_ref is not None:
+            w_ref[:] = w * v
 
     return kernel
 
@@ -287,10 +309,13 @@ def _pad_rows(x, tb):
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iters", "max_armijo", "sigma",
-                                    "stop_rel", "tb"))
-def pn_tv1_fused(y, lam_full, w_init=None, max_iters: int = 100,
+                                    "stop_rel", "tb", "head_steps",
+                                    "return_dual"))
+def pn_tv1_fused(y, lam_full=None, w_init=None, max_iters: int = 100,
                  max_armijo: int = 12, sigma: float = 0.05,
-                 stop_rel: float = 1e-6, tb: int = _DEF_TB):
+                 stop_rel: float = 1e-6, tb: int = _DEF_TB,
+                 head_steps: int = 4, lam_scalar=None,
+                 return_dual: bool = True):
     """Fused batched TV-L1 projected-Newton prox.
 
     Args:
@@ -298,9 +323,16 @@ def pn_tv1_fused(y, lam_full, w_init=None, max_iters: int = 100,
         lam_full: (B, n) per-edge weights padded with a zero final column
             (column j weights edge (j, j+1); column n-1 is ignored).
         w_init: optional (B, n) dual warm start (same padding).
+        lam_scalar: alternative to ``lam_full`` for a uniform penalty — a
+            traced scalar shipped to the kernel through SMEM, skipping a
+            full (B, n) HBM stream.
+        return_dual: with False, the final dual is neither written to HBM
+            nor sliced back — one less (B, n) output stream when the caller
+            only wants ``x``.
 
     Returns:
-        (x, w): solution and final dual, both (B, n).
+        (x, w): solution and final dual, both (B, n); ``w`` is None when
+        ``return_dual=False``.
     """
     B, n = y.shape
     dtype = y.dtype
@@ -315,19 +347,36 @@ def pn_tv1_fused(y, lam_full, w_init=None, max_iters: int = 100,
         return a
 
     y_p = pad2(y)
-    lam_p = pad2(lam_full)
+    scalar_mode = lam_scalar is not None
+    if scalar_mode:
+        lam_in = jnp.asarray(lam_scalar, dtype).reshape(1, 1)
+        lam_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+    else:
+        lam_in = pad2(lam_full)
+        lam_spec = None
     spec = pl.BlockSpec((tb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_shape = (jax.ShapeDtypeStruct(y_p.shape, dtype),
-                 jax.ShapeDtypeStruct(y_p.shape, dtype))
+    if lam_spec is None:
+        lam_spec = spec
+    n_out = 2 if return_dual else 1
+    out_shape = tuple(jax.ShapeDtypeStruct(y_p.shape, dtype)
+                      for _ in range(n_out))
+    out_specs = tuple(spec for _ in range(n_out))
     kernel = _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel,
-                          warm=w_init is not None)
+                          warm=w_init is not None, head_steps=head_steps,
+                          lam_scalar=scalar_mode)
     if w_init is not None:
         w_p = pad2(w_init)
-        x, w = pl.pallas_call(kernel, grid=grid, in_specs=[spec] * 3,
-                              out_specs=(spec, spec), out_shape=out_shape)(
-            y_p, lam_p, w_p)
+        out = pl.pallas_call(kernel, grid=grid,
+                             in_specs=[spec, lam_spec, spec],
+                             out_specs=out_specs, out_shape=out_shape)(
+            y_p, lam_in, w_p)
     else:
-        x, w = pl.pallas_call(kernel, grid=grid, in_specs=[spec] * 2,
-                              out_specs=(spec, spec), out_shape=out_shape)(
-            y_p, lam_p)
-    return x[:B, :n], w[:B, :n]
+        out = pl.pallas_call(kernel, grid=grid, in_specs=[spec, lam_spec],
+                             out_specs=out_specs, out_shape=out_shape)(
+            y_p, lam_in)
+    if return_dual:
+        x, w = out
+        return x[:B, :n], w[:B, :n]
+    (x,) = out
+    return x[:B, :n], None

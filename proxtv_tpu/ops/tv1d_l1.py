@@ -690,12 +690,21 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
                 and jax.default_backend() == "tpu"):
             # Fused VMEM-resident Pallas solver (one HBM read/write).
             from .kernels import pn_fused
+            n_pad = -(-n // 128) * 128
+            # tb=32 wins over 64 at bench shapes (fewer straggler lanes per
+            # tile at equal VMEM residency); cap by the VMEM budget.
+            tb = int(max(8, min(32, ((14 << 20) // (180 * n_pad) // 8) * 8)))
+            if jnp.ndim(lam) == 0:
+                # Uniform penalty rides to the kernel as an SMEM scalar —
+                # no (B, n) penalty field ever touches HBM.
+                x, _ = pn_fused.pn_tv1_fused(y, lam_scalar=lam, tb=tb,
+                                             return_dual=False)
+                return x
             lamv = _edge_weights(lam, B, n, y.dtype)
             lam_full = jnp.concatenate(
                 [lamv, jnp.zeros((B, 1), y.dtype)], axis=-1)
-            n_pad = -(-n // 128) * 128
-            tb = int(max(8, min(64, ((14 << 20) // (180 * n_pad) // 8) * 8)))
-            x, _ = pn_fused.pn_tv1_fused(y, lam_full, tb=tb)
+            x, _ = pn_fused.pn_tv1_fused(y, lam_full, tb=tb,
+                                         return_dual=False)
             return x
         x, _ = tv1_pn(y, lam, cfg=cfg)
         return x
