@@ -34,6 +34,7 @@ B1, N1 = 10000, 1000
 LAM1 = 0.7
 BLP, NLP = 64, 1000      # TV-Lp reference sample (GPFW is slow per signal)
 NLONG = 1_000_000        # single huge signal
+SLONG = 8                # streaming batch of huge signals (sustained rate)
 L3, M3, N3 = 32, 256, 256
 
 # Cached baselines missing any of these keys are re-measured.
@@ -41,7 +42,7 @@ BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_1d_signals_s",
              "ref_1d_batch_signals_s", "ref_1dw_signals_s", "ref_l2_signals_s",
              "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_2dw_mpx_s",
              "ref_2dw_obj", "ref_3d_mpx_s", "ref_3d_obj", "ref_long1d_ms",
-             "ref_threads"]
+             "ref_long1d_stream_ms", "ref_threads"]
 
 
 def log(*a):
@@ -236,21 +237,58 @@ def measure_reference():
     for _ in range(3):
         lib.hybridTautString_TV1(P(ylong), NLONG, LAM1, P(xlong))
     out["ref_long1d_ms"] = (time.time() - t0) / 3 * 1e3
+
+    # ---- streaming long signals (sustained rate: one scan per core) ----
+    Ylong = np.ascontiguousarray(np.cumsum(rng.randn(SLONG, NLONG), axis=1)
+                                 * 0.05 + rng.randn(SLONG, NLONG))
+    Xlong = np.zeros_like(Ylong)
+
+    def run_long(k):
+        lib.hybridTautString_TV1(P(Ylong[k]), NLONG, LAM1, P(Xlong[k]))
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _thread_map(run_long, SLONG, nthreads)
+        best = min(best, time.time() - t0)
+    out["ref_long1d_stream_ms"] = best / SLONG * 1e3
+    return out
+
+
+def _merge_best(old, new):
+    """Per-row best-observed merge of two baseline measurements.
+
+    This host's 4 vCPUs are noisy (observed 2.5x swings on the reference 2D
+    row between runs); a slow, contaminated CPU baseline would *flatter* our
+    ratios.  Keeping the fastest observed reference number per row makes the
+    cached baseline monotone in the reference's favor."""
+    out = dict(new)
+    for k, v in (old or {}).items():
+        if not isinstance(v, (int, float)) or out.get(k) is None:
+            if k not in out:
+                out[k] = v
+            continue
+        if k.endswith(("_signals_s", "_mpx_s")):
+            out[k] = max(out[k], v)
+        elif k.endswith("_ms"):
+            out[k] = min(out[k], v)
     return out
 
 
 def get_baseline():
+    cached = None
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            base = json.load(f)
-        if all(k in base for k in BASE_KEYS):
-            return base
+            cached = json.load(f)
+        if all(k in cached for k in BASE_KEYS):
+            return cached
     base = measure_reference()
     if base is None:
         # conservative fallback from a previous measurement on this host
         base = {"ref_2d_mpx_s": 0.49, "ref_2d_obj": 416575.42,
                 "ref_1d_signals_s": 31004.0, "ref_threads": 1}
         base.update({k: None for k in BASE_KEYS if k not in base})
+    base = _merge_best(cached, base)
     with open(CACHE, "w") as f:
         json.dump(base, f)
     return base
@@ -273,9 +311,11 @@ def measure_tpu(base):
     Yn = np.asarray(Y)[0]
 
     # The axon tunnel costs ~30 ms of fixed dispatch latency per timed block
-    # (pipelined across calls), which at 5 reps inflates a ~10 ms solve by
-    # ~60%; 20 reps keeps the inflation under ~15% for every metric here.
-    reps = 20
+    # (pipelined across calls; measured floor ~1.1 ms/call at 30 reps even
+    # for a trivial elementwise op).  A local TPU host pays ~50 us for the
+    # same sync, so amortizing it over 100 reps (<3% inflation on every
+    # metric here) is the honest sustained-rate measurement.
+    reps = 100
 
     f2d = jax.jit(lambda Y: tv2d.tv1_2d_batched(
         Y, LAM, method="chambolle-pock-acc", max_iters=2500)[0])
@@ -379,6 +419,12 @@ def measure_tpu(base):
     flong = jax.jit(lambda y: tv1d_long.tv1_long(y, LAM1)[0])
     t_long = timed(flong, ylong)
 
+    # Sustained rate on a stream of long signals: all SLONG signals' windows
+    # run as ONE fused kernel batch (the TPU analog of one scan per core).
+    Ylong = jnp.asarray((np.cumsum(rng.randn(SLONG, NLONG), axis=1) * 0.05
+                         + rng.randn(SLONG, NLONG)).astype(np.float32))
+    t_long_stream = timed(flong, Ylong) / SLONG
+
     return {
         "tpu_2d_mpx_s": M * N / 1e6 / t_2d,
         "tpu_2d_obj": float(obj_2d),
@@ -392,6 +438,7 @@ def measure_tpu(base):
         "tpu_3d_mpx_s": L3 * M3 * N3 / 1e6 / t_3d,
         "tpu_3d_obj": obj_3d,
         "tpu_long1d_ms": t_long * 1e3,
+        "tpu_long1d_stream_ms": t_long_stream * 1e3,
     }
 
 
@@ -452,6 +499,13 @@ def main():
             "ref_long1d_ms": (round(base["ref_long1d_ms"], 2)
                               if base.get("ref_long1d_ms") else None),
             "vs_baseline_long1d": _ratio(base.get("ref_long1d_ms"), long_ms),
+            "tpu_long1d_stream_ms": round(ours["tpu_long1d_stream_ms"], 2),
+            "ref_long1d_stream_ms": (round(base["ref_long1d_stream_ms"], 2)
+                                     if base.get("ref_long1d_stream_ms")
+                                     else None),
+            "vs_baseline_long1d_stream": _ratio(
+                base.get("ref_long1d_stream_ms"),
+                ours["tpu_long1d_stream_ms"]),
             "objective_ok": bool(obj_ok),
         },
     }))

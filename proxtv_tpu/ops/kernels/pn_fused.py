@@ -224,10 +224,10 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
                      jnp.where(ok1 > 0, x1, x),
                      jnp.where(ok1 > 0, f1, fval), ok1)
 
-            def ls_fallback(best):
+            def ls_trials(best, delta0, ntrials):
                 best_w, best_x, best_f, found = best
-                delta = 0.5
-                for _ in range(max_armijo - 1):
+                delta = delta0
+                for _ in range(ntrials):
                     aux = jnp.where(m > 0,
                                     jnp.clip(w - delta * d, -lam, lam), w)
                     xn = primal(aux)
@@ -242,6 +242,18 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
                     found = jnp.maximum(found, ok)
                     delta *= 0.5
                 return best_w, best_x, best_f, found
+
+            # Two-stage fallback: clipped steps almost always accept within
+            # the first few halvings, so only 3 trials run on the common
+            # path; the deep tail (8 more halvings) sits behind a second
+            # branch point that fires ~never.  Numerics identical to one
+            # flat unrolled search.
+            def ls_fallback(best):
+                best = ls_trials(best, 0.5, 3)
+                def deep(b):
+                    return ls_trials(b, 0.5 ** 4, max_armijo - 4)
+                return jax.lax.cond(jnp.min(best[3]) < 1.0, deep,
+                                    lambda b: b, best)
 
             need_ls = jnp.min(ok1) < 1.0
             w_new, x_new, f_new, _ = jax.lax.cond(

@@ -24,9 +24,16 @@ TPU-native redesign:
 3.  **Certified polish (exact).**  A single warm-started global projected
     Newton run (:func:`proxtv_tpu.ops.tv1d_l1.tv1_pn` with ``w_init``)
     finishes the solve to the duality-gap tolerance.  When the glued dual is
-    already optimal the loop exits immediately; pathological couplings (e.g.
-    near-constant solutions spanning many chunks) just cost extra Newton
-    steps — correctness never depends on the overlap heuristic, only speed.
+    already optimal (the measured common case: 0 Newton iterations at the
+    default geometry) the loop exits on its initial gap check and the polish
+    is just the certificate; pathological couplings (e.g. near-constant
+    solutions spanning many chunks) cost extra Newton steps — correctness
+    never depends on the overlap heuristic, only speed.
+
+A batch of long signals may be passed as ``(S, n)``: all S*K windows run as
+ONE fused kernel call and the polish runs batched, so streaming throughput
+scales with the batch (the sustained-throughput analog of running the
+reference scan on several cores).
 
 The returned ``SolverInfo`` is the polish certificate (per-signal duality
 gap + rc).  Unlike the reference scan (which "suffers numerical blow-up for
@@ -74,35 +81,42 @@ def _solve_windows(Yw, lam_w):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "overlap", "cfg"))
-def tv1_long(y, lam, chunk: int = 6144, overlap: int = 1024,
+def tv1_long(y, lam, chunk: int = 4096, overlap: int = 640,
              cfg: TV1Config = DEFAULT_TV1):
-    """Single-signal TV-L1 prox for very long signals, TPU-resident.
+    """TV-L1 prox for very long signals, TPU-resident.
 
     Args:
-        y: (n,) signal (any length; the chunked path engages above one chunk).
-        lam: scalar penalty or (n-1,) per-edge weights.
+        y: (n,) signal, or (S, n) batch of long signals solved together (the
+            chunked path engages above one window length).
+        lam: scalar penalty or (n-1,) / (S, n-1) per-edge weights.
         chunk: interior samples owned by each window.
         overlap: boundary margin solved but discarded on each side; larger =
             better glue (fewer polish iterations), more redundant compute.
+            The default (4096, 640) measured fastest end-to-end at n = 1e6
+            on v5e, with the glued dual already optimal (0-iteration polish).
 
     Returns:
-        (x, info): (n,) solution and the polish :class:`SolverInfo`
-        certificate (duality gap, rc) — per the reference per-solve info[].
+        (x, info): solution matching ``y``'s shape and the per-signal polish
+        :class:`SolverInfo` certificate (duality gap, rc) — per the
+        reference per-solve info[].
     """
-    y = jnp.asarray(y).reshape(-1)
-    n = y.shape[0]
-    dtype = y.dtype
+    y = jnp.asarray(y)
+    single = y.ndim == 1
+    Y = y[None] if single else y
+    S, n = Y.shape
+    dtype = Y.dtype
     lam = jnp.asarray(lam, dtype)
-    per_edge = lam.ndim == 1
+    per_edge = lam.ndim >= 1
+    lam_b = (lam[None] if lam.ndim == 1 else lam) if per_edge else lam
 
     if n <= chunk + 2 * overlap:
-        x, info = tv1d_l1.tv1_pn(y[None], lam[None] if per_edge else lam,
-                                 cfg=cfg)
-        return x[0], info
+        x, info = tv1d_l1.tv1_pn(Y, lam_b, cfg=cfg)
+        return (x[0] if single else x), info
 
     K = -(-n // chunk)
     win = chunk + 2 * overlap
-    Yw = _windows(y, K, chunk, overlap)
+    Yw = jax.vmap(lambda a: _windows(a, K, chunk, overlap))(Y)
+    Yw = Yw.reshape(S * K, win)
 
     # Per-window edge weights with out-of-range edges zeroed: a zero weight
     # decouples the zero-filled padding exactly and gives boundary windows
@@ -111,18 +125,22 @@ def tv1_long(y, lam, chunk: int = 6144, overlap: int = 1024,
           + jnp.arange(win - 1, dtype=jnp.int32)[None, :] - overlap)
     valid = (eg >= 0) & (eg < n - 1)
     if per_edge:
-        lam_w = jnp.where(valid, _windows(lam, K, chunk, overlap)[:, :win - 1],
-                          0.0)
+        lw = jax.vmap(lambda a: _windows(a, K, chunk, overlap))(
+            lam_b)[:, :, : win - 1]
+        lam_w = jnp.where(valid[None], lw, 0.0).reshape(S * K, win - 1)
     else:
-        lam_w = jnp.where(valid, lam, 0.0)
+        lam_w = jnp.broadcast_to(jnp.where(valid, lam, 0.0)[None],
+                                 (S, K, win - 1)).reshape(S * K, win - 1)
 
     _, Ww = _solve_windows(Yw, lam_w)
 
     # Glue: global edge i is owned by window i // chunk at local index
     # i - (i//chunk)*chunk + overlap — a plain slice + reshape.
-    w_glued = Ww[:, overlap: overlap + chunk].reshape(-1)[: n - 1]
+    # (the dual is (win,)-wide from the Pallas kernel, (win-1,) from the XLA
+    # fallback; the glued slice lies inside both)
+    w_glued = (Ww.reshape(S, K, Ww.shape[-1])[:, :, overlap: overlap + chunk]
+               .reshape(S, -1)[:, : n - 1])
 
     # Certified polish: global PN warm-started from the glued dual.
-    lam_b = lam[None] if per_edge else lam
-    x, info = tv1d_l1.tv1_pn(y[None], lam_b, cfg=cfg, w_init=w_glued[None])
-    return x[0], info
+    x, info = tv1d_l1.tv1_pn(Y, lam_b, cfg=cfg, w_init=w_glued)
+    return (x[0] if single else x), info

@@ -39,6 +39,31 @@ def test_long_heavy_smoothing(rng):
     _check(y, 25.0, chunk=256, overlap=64, atol=1e-6)
 
 
+def test_long_batched(rng):
+    """(S, n) batch: every signal matches its own single-signal solve."""
+    n, S = 3000, 3
+    Y = np.cumsum(rng.randn(S, n), axis=1) * 0.05 + rng.randn(S, n)
+    X, info = tv1d_long.tv1_long(jnp.asarray(Y), 0.7, chunk=512, overlap=128)
+    assert X.shape == (S, n) and np.all(np.asarray(info.rc) == 0)
+    for s in range(S):
+        xs, _ = tv1d_long.tv1_long(jnp.asarray(Y[s]), 0.7, chunk=512,
+                                   overlap=128)
+        np.testing.assert_allclose(np.asarray(X[s]), np.asarray(xs),
+                                   atol=1e-10)
+
+
+def test_long_batched_per_edge_weights(rng):
+    n, S = 2000, 2
+    Y = np.cumsum(rng.randn(S, n), axis=1) * 0.05 + rng.randn(S, n)
+    W = 0.5 + rng.rand(S, n - 1)
+    X, info = tv1d_long.tv1_long(jnp.asarray(Y), jnp.asarray(W), chunk=512,
+                                 overlap=128)
+    for s in range(S):
+        ref = np.asarray(tv1d_l1.tv1_tautstring(
+            jnp.asarray(Y[s])[None], jnp.asarray(W[s])[None]))[0]
+        np.testing.assert_allclose(np.asarray(X[s]), ref, atol=1e-8)
+
+
 def test_long_short_input_passthrough(rng):
     y = rng.randn(100)
     x, info = tv1d_long.tv1_long(jnp.asarray(y), 0.5)
