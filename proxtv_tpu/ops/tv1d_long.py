@@ -81,7 +81,7 @@ def _solve_windows(Yw, lam_w):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "overlap", "cfg"))
-def tv1_long(y, lam, chunk: int = 4096, overlap: int = 640,
+def tv1_long(y, lam, chunk: int = 5120, overlap: int = 640,
              cfg: TV1Config = DEFAULT_TV1):
     """TV-L1 prox for very long signals, TPU-resident.
 
@@ -92,8 +92,9 @@ def tv1_long(y, lam, chunk: int = 4096, overlap: int = 640,
         chunk: interior samples owned by each window.
         overlap: boundary margin solved but discarded on each side; larger =
             better glue (fewer polish iterations), more redundant compute.
-            The default (4096, 640) measured fastest end-to-end at n = 1e6
-            on v5e, with the glued dual already optimal (0-iteration polish).
+            The default (5120, 640) measured fastest end-to-end at n = 1e6
+            on v5e (single and streaming), with the glued dual already
+            optimal (0-iteration polish).
 
     Returns:
         (x, info): solution matching ``y``'s shape and the per-signal polish
