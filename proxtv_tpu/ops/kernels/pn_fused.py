@@ -215,11 +215,21 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
             # enter the unrolled halving fallback behind ONE branch point only
             # if clipping broke some lane (a per-trial while_loop whose cond
             # reduces found every step stalls the vector pipeline ~20x).
-            aux1 = jnp.where(m > 0, jnp.clip(w - d, -lam, lam), w)
-            x1 = primal(aux1)
-            f1 = _rowsum(x1 * x1) * 0.5
-            ok1 = (((fval - f1) >= sigma * gRd)
-                   | ((fval - f1) <= eps_f)).astype(y.dtype)
+            # Objective change evaluated cancellation-free from the dual step
+            # (see tv1d_l1.tv1_pn.armijo): improve = -(x.D'dw + 0.5||D'dw||^2)
+            # resolves improvements far below ulp(fval), which differencing
+            # two O(||y||^2) totals cannot.
+            def trial(delta):
+                aux = jnp.where(m > 0, jnp.clip(w - delta * d, -lam, lam), w)
+                dw = aux - w
+                dx = dw - _shift_right(dw, 1, 0.0)
+                xn = x + dx
+                improve = -_rowsum(x * dx + 0.5 * dx * dx)
+                return aux, xn, fval - improve, improve
+
+            aux1, x1, f1, imp1 = trial(1.0)
+            ok1 = ((imp1 >= sigma * gRd)
+                   | (imp1 <= eps_f)).astype(y.dtype)
             best0 = (jnp.where(ok1 > 0, aux1, w),
                      jnp.where(ok1 > 0, x1, x),
                      jnp.where(ok1 > 0, f1, fval), ok1)
@@ -228,11 +238,7 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
                 best_w, best_x, best_f, found = best
                 delta = delta0
                 for _ in range(ntrials):
-                    aux = jnp.where(m > 0,
-                                    jnp.clip(w - delta * d, -lam, lam), w)
-                    xn = primal(aux)
-                    fn = _rowsum(xn * xn) * 0.5
-                    improve = fval - fn
+                    aux, xn, fn, improve = trial(delta)
                     ok = ((improve >= sigma * delta * gRd)
                           | (improve <= eps_f)).astype(y.dtype)
                     newly = ok * (1.0 - found)

@@ -166,9 +166,10 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
             ((w > -lamv) & (w < lamv)) | ((w == -lamv) & (g < -eps))
             | ((w == lamv) & (g > eps)))
 
-    def armijo(w, g, d, mI, fval):
+    def armijo(w, g, d, mI, x, fval):
         """Bounded Armijo + quadratic-interpolation stepsize search
-        (reference src/TVL1opt.cpp:203-276), batched with per-lane masks."""
+        (reference src/TVL1opt.cpp:203-276), batched with per-lane masks.
+        ``x`` must be the current primal ``y + D'w`` for this ``w``."""
         gRd = jnp.sum(jnp.where(mI, g * d, 0.0), axis=-1)
 
         # grad0: directional derivative used for interpolation.  Vectorized over all
@@ -190,9 +191,16 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
         def body(state):
             k, delta, maxstep, found, stop_flag, best_aux, best_x, best_f, recomp = state
             aux = jnp.where(mI, jnp.clip(w - delta[:, None] * d, -lamv, lamv), w)
-            x_new = diffs.dual2primal(aux, y)
-            f_new = 0.5 * jnp.sum(x_new * x_new, axis=-1)
-            improve = fval - f_new
+            # Cancellation-free objective change: with x = y + D'w fixed during
+            # the search, f(aux) - f(w) = sum x.(D'dw) + 0.5 ||D'dw||^2 where
+            # dw = aux - w.  Differencing two O(||y||^2) objective values
+            # instead quantizes the improvement to ulp(fval) — in f32 at
+            # n ~ 1e6 that is ~0.1 absolute, which stalls the line search and
+            # with it the outer Newton loop long before the gap tolerance.
+            dx = diffs.adjoint_diff(aux - w)
+            x_new = x + dx
+            improve = -(jnp.sum(x * dx, axis=-1) + 0.5 * jnp.sum(dx * dx, axis=-1))
+            f_new = fval - improve
             # Zero improvement: direction not useful -> accept and stop searching
             # (the reference breaks out of the search, src/TVL1opt.cpp:223-224).
             # Threshold scaled to the dtype's resolution of fval.
@@ -238,7 +246,7 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
         return aux, x_new, f_new
 
     def outer_body(state):
-        w, g, x, fval, stop, stop_prev, iters, running = state
+        w, g, x, fval, stop, best, stall, iters, running = state
         mI = inactive_mask(w, g)
         any_inactive = jnp.any(mI, axis=-1)
 
@@ -248,7 +256,7 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
             jnp.where(mI, g, 0.0), mask=mI, method=tridiag_method)
         d = jnp.where(mI, d, 0.0)
 
-        aux, x_new, f_new = armijo(w, g, d, mI, fval)
+        aux, x_new, f_new = armijo(w, g, d, mI, x, fval)
 
         g_new = diffs.primal2grad(x_new)
         stop_new = _gap_tv1w(aux, g_new, lamv)
@@ -258,13 +266,18 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
         x = jnp.where(act[:, None], x_new, x)
         g = jnp.where(act[:, None], g_new, g)
         fval = jnp.where(act, f_new, fval)
-        stop_prev_out = jnp.where(act, stop, stop_prev)
         stop = jnp.where(act, stop_new, stop)
+        # Stuck detection: count consecutive iterations without a material
+        # best-gap improvement (the reference's single-step |delta gap| <=
+        # EPSILON test, src/TVL1opt.cpp:286-290, made robust to the slow
+        # tail steps and f32 gap-evaluation noise of very long signals).
+        improved = (stop < best - eps_gap) | (stop < 0.875 * best)
+        best = jnp.minimum(best, stop)
+        stall = jnp.where(act, jnp.where(improved, 0, stall + 1), stall)
         iters = iters + act.astype(jnp.int32)
         # Lanes with no inactive constraints are finished (reference returns).
-        running = running & any_inactive & (stop > tol) & (
-            jnp.abs(stop - stop_prev_out) > eps_gap)
-        return w, g, x, fval, stop, stop_prev_out, iters, running
+        running = running & any_inactive & (stop > tol) & (stall < MAX_STALL)
+        return w, g, x, fval, stop, best, stall, iters, running
 
     def outer_cond(state):
         *_, iters, running = state
@@ -275,19 +288,20 @@ def tv1_pn(y, lam, cfg: TV1Config = DEFAULT_TV1, tridiag_method: str = "pcr",
     # Scale by the problem magnitude (0.5||y||^2 dominates the dual objective),
     # floored at 1 so tiny problems keep the absolute contract.
     scale = jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1))
-    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps * scale)
-    eps_gap = jnp.maximum(eps, 50.0 * jnp.finfo(dtype).eps * scale)
+    tol = jnp.maximum(cfg.stop, 2.0 * jnp.finfo(dtype).eps * scale)
+    eps_gap = jnp.maximum(eps, 2.0 * jnp.finfo(dtype).eps * scale)
     eps_f = jnp.maximum(eps, 10.0 * jnp.finfo(dtype).eps * scale)
+    MAX_STALL = 5
 
     stop0 = _gap_tv1w(w, g, lamv)
     running0 = stop0 > tol
-    init = (w, g, x, fval, stop0, jnp.full((B,), -jnp.inf, dtype),
+    init = (w, g, x, fval, stop0, stop0, jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32), running0)
-    w, g, x, fval, stop, stop_prev, iters, running = jax.lax.while_loop(
+    w, g, x, fval, stop, best, stall, iters, running = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
     rc = jnp.where(iters >= cfg.max_iters, RC_ITERS,
-                   jnp.where((stop > tol) & (jnp.abs(stop - stop_prev) <= eps_gap),
+                   jnp.where((stop > tol) & (stall >= MAX_STALL),
                              RC_STUCK, RC_OK)).astype(jnp.int32)
     info = make_info(iters, jnp.abs(stop), rc)
     x = x + ybar

@@ -69,3 +69,20 @@ def test_long_short_input_passthrough(rng):
     x, info = tv1d_long.tv1_long(jnp.asarray(y), 0.5)
     ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None], 0.5))[0]
     np.testing.assert_allclose(np.asarray(x), ref, atol=1e-8)
+
+
+def test_long_plateau_seams(rng):
+    """Plateau-structured signal whose flats span window seams: the
+    escalation path (Schwarz sweep + polish + plateau snap) must still hit
+    the scan engine's objective, with an honest certificate."""
+    n = 20000
+    y = (np.repeat(rng.randn(n // 200), 200)
+         + 0.1 * rng.randn(n))
+    lam = 5.0
+    x, info = tv1d_long.tv1_long(jnp.asarray(y), lam, chunk=512, overlap=64)
+    ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
+                                            jnp.asarray(lam)))[0]
+    def obj(z):
+        return 0.5 * ((z - y) ** 2).sum() + lam * np.abs(np.diff(z)).sum()
+    rel = (obj(np.asarray(x)) - obj(ref)) / obj(ref)
+    assert rel <= 1e-8, rel
