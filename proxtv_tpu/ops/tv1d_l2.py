@@ -55,9 +55,44 @@ def _lam_vec(lam, B, dtype):
     return lam.reshape(B)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "return_alpha"))
+def _ms_fused_ok(y):
+    """Route to the fused Pallas MS kernel on TPU (f32, moderate n,
+    single-device input — a pallas_call would gather a sharded operand)."""
+    if (jax.default_backend() != "tpu" or y.dtype != jnp.float32
+            or not (2 <= y.shape[-1] <= 8192)):
+        return False
+    from ..models.tv2d import _FusedFlag, _concrete_multidevice
+    return _FusedFlag.value and not _concrete_multidevice(y)
+
+
 def tv2_ms(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
            return_alpha: bool = False):
+    """Batched More-Sorensen TV-L2 prox: fused Pallas kernel on TPU f32,
+    XLA composition elsewhere (see :func:`_tv2_ms_xla` for the contract)."""
+    y = jnp.asarray(y)
+    if _ms_fused_ok(y):
+        from .kernels import ms_fused
+        B = y.shape[0]
+        lam_a = jnp.asarray(lam, y.dtype)
+        kw = dict(max_iters=cfg.max_iters, stop_boundary=float(cfg.stop_boundary))
+        if lam_a.ndim == 0:
+            x, alpha, gap, iters = ms_fused.ms_tv2_fused(
+                y, lam=lam_a, alpha_init=alpha_init, **kw)
+        else:
+            x, alpha, gap, iters = ms_fused.ms_tv2_fused(
+                y, lam_rows=lam_a.reshape(B), alpha_init=alpha_init, **kw)
+        rc = jnp.where(iters >= cfg.max_iters, RC_ITERS, RC_OK).astype(jnp.int32)
+        info = make_info(iters, gap, rc)
+        if return_alpha:
+            return x, info, alpha
+        return x, info
+    return _tv2_ms_xla(y, lam, cfg=cfg, alpha_init=alpha_init,
+                       return_alpha=return_alpha)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "return_alpha"))
+def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
+                return_alpha: bool = False):
     """Batched More-Sorensen TV-L2 prox.
 
     Args:

@@ -61,20 +61,37 @@ def _segment_mean_scan(x, seg_start):
     i..tail; ``total = fwd + rev - x``.  TPU gathers at n ~ 1e6 cost more
     than the whole window solve, so this replaces the gather-based
     ``diffprox._segment_mean`` on the long-signal path."""
+    n = x.shape[1]
     ones = jnp.ones_like(x)
     seg_end = jnp.concatenate([seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])],
                               axis=1)
 
-    def seg_op(a, b):
-        (av, ac, af), (bv, bc, bf) = a, b
-        keep = 1.0 - bf
-        return bv + keep * av, bc + keep * ac, jnp.maximum(af, bf)
+    def _sr(a, k):  # shift right by k (zero fill)
+        return jnp.pad(a, ((0, 0), (k, 0)))[:, :-k]
+
+    def _sl(a, k):  # shift left by k (zero fill)
+        return jnp.pad(a, ((0, 0), (0, k)))[:, k:]
+
+    def seg_scan(v, c, s, shift):
+        """Unrolled Hillis-Steele segmented inclusive sum: v_i += v_{i-k}
+        unless a segment head lies in between (s = blocked flag).  A manual
+        log-shift loop — ``lax.associative_scan`` with a tuple operator
+        compiles pathologically on the TPU backend at n ~ 1e6 (>>10 min),
+        while this form compiles like the PCR kernels (seconds)."""
+        k = 1
+        while k < n:
+            vs, cs, ss = shift(v, k), shift(c, k), shift(s, k)
+            keep = 1.0 - s
+            v = v + keep * vs
+            c = c + keep * cs
+            s = jnp.maximum(s, ss)
+            k <<= 1
+        return v, c
 
     f = seg_start.astype(x.dtype)
-    fwd_v, fwd_c, _ = jax.lax.associative_scan(seg_op, (x, ones, f), axis=1)
+    fwd_v, fwd_c = seg_scan(x, ones, f, _sr)
     fe = seg_end.astype(x.dtype)
-    rev_v, rev_c, _ = jax.lax.associative_scan(seg_op, (x, ones, fe), axis=1,
-                                               reverse=True)
+    rev_v, rev_c = seg_scan(x, ones, fe, _sl)
     tot = fwd_v + rev_v - x
     cnt = fwd_c + rev_c - 1.0
     return tot / cnt

@@ -182,3 +182,39 @@ def test_pdhg_fused_weighted(rng):
         jnp.asarray(np.asarray(W_col), jnp.float64),
         jnp.asarray(np.asarray(W_row), jnp.float64), max_iters=800, method="pd")
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r), atol=2e-3)
+
+
+def test_ms_fused_matches_oracle(rng):
+    from proxtv_tpu.ops.kernels import ms_fused as MF
+    B, n = 8, 30
+    Y = rng.randn(B, n).astype(np.float32) * 2
+    lam = 1.3
+    x, alpha, gap, iters = MF.ms_tv2_fused(
+        jnp.asarray(Y), lam=jnp.float32(lam), tb=8)
+    x = np.asarray(x)
+    for k in range(B):
+        ref = oracles.tv2_oracle(Y[k].astype(float), lam)
+        np.testing.assert_allclose(x[k], ref, atol=2e-3)
+    assert np.all(np.asarray(gap) >= 0)
+
+
+def test_ms_fused_rows_warm_and_degenerate(rng):
+    from proxtv_tpu.ops.kernels import ms_fused as MF
+    B, n = 6, 24
+    Y = rng.randn(B, n).astype(np.float32)
+    lams = np.array([0.0, 0.4, 0.9, 2.0, 50.0, 1.1], np.float32)
+    x, alpha, gap, iters = MF.ms_tv2_fused(
+        jnp.asarray(Y), lam_rows=jnp.asarray(lams), tb=8)
+    x = np.asarray(x)
+    # lam = 0: identity.
+    np.testing.assert_allclose(x[0], Y[0], atol=1e-6)
+    # huge lam: interior case, exact mean.
+    np.testing.assert_allclose(x[4], np.full(n, Y[4].mean()), atol=1e-5)
+    for k in (1, 2, 3, 5):
+        ref = oracles.tv2_oracle(Y[k].astype(float), float(lams[k]))
+        np.testing.assert_allclose(x[k], ref, atol=2e-3)
+    # Warm restart from the converged multipliers: same solution, <= iters.
+    x2, alpha2, gap2, iters2 = MF.ms_tv2_fused(
+        jnp.asarray(Y), lam_rows=jnp.asarray(lams), alpha_init=alpha, tb=8)
+    np.testing.assert_allclose(np.asarray(x2), x, atol=1e-4)
+    assert np.all(np.asarray(iters2) <= np.asarray(iters) + 1)
