@@ -102,49 +102,71 @@ def _make_kernel(n, n_pad, max_iters, stop_boundary, lam_scalar, warm):
                 y.shape)
         dy = (_shift_left(y, 1, 0.0) - y) * v
 
-        # Unconstrained solve (alpha = 0) for the interior test: DD'w0 = dy
-        # implies Dx = 0, i.e. the solution is exactly the signal mean.
-        w0 = _pcr_shifted(dy, jnp.zeros_like(y), v, n_pad)
-        nrm0 = jnp.sqrt(_rowsum(w0 * w0))
         zero_pen = (lam <= 0).astype(y.dtype)
-        interior = (nrm0 <= lam).astype(y.dtype) * (1.0 - zero_pen)
         safe_lam = jnp.where(lam > 0, lam, 1.0)
+        tolb = stop_boundary * safe_lam
 
+        # Bootstrap: one Cholesky-form Newton step of the secular equation
+        # phi(alpha) = 1/lam - 1/||w(alpha)|| from the start point (reference
+        # more_TV2 update, src/TVL2opt.cpp:106-128) — the only place the
+        # derivative system q = (DD'+aI)^{-1} w is solved.  phi is convex
+        # decreasing with phi(root) = 0, so Newton from below under-shoots
+        # and the subsequent SECANT iteration (one PCR solve per step
+        # instead of two) also converges monotonically from below.
         if warm:
-            alpha0 = jnp.maximum(
+            a_start = jnp.maximum(
                 jnp.broadcast_to(
                     jnp.sum(a0_ref[:], axis=-1, keepdims=True) * (1.0 / 128.0),
                     y.shape), 0.0)
         else:
-            alpha0 = jnp.zeros_like(y)
+            a_start = jnp.zeros_like(y)
+        w_s = _pcr_shifted(dy, a_start, v, n_pad)
+        q_s = _pcr_shifted(w_s, a_start, v, n_pad)
+        nrm2_s = _rowsum(w_s * w_s)
+        nrm_s = jnp.sqrt(nrm2_s)
+        wq_s = _rowsum(w_s * q_s)
+        delta0 = (nrm2_s / jnp.maximum(wq_s, _EPS)) * (nrm_s - safe_lam) / safe_lam
+        alpha1 = jnp.maximum(a_start + delta0, 0.0)
+        phi_s = 1.0 / safe_lam - 1.0 / jnp.maximum(nrm_s, _EPS)
 
-        tolb = stop_boundary * safe_lam
+        # Interior case: ||w(0)|| <= lam means the unconstrained solution is
+        # feasible and x is exactly the signal mean; detected in-loop as
+        # alpha driven to 0 with ||w|| <= lam (covers warm starts too, since
+        # ||w(alpha)|| decreases in alpha).
+        conv0 = ((jnp.abs(nrm_s - safe_lam) <= tolb)
+                 | ((a_start <= 0) & (nrm_s <= safe_lam))).astype(y.dtype)
+        interior0 = ((a_start <= 0) & (nrm_s <= safe_lam)).astype(y.dtype)
+        running0 = (1.0 - conv0) * (1.0 - zero_pen)
 
         def body(state):
-            alpha, w, itv, running = state
+            alpha, aprev, phiprev, w, interior, itv, running = state
             w_new = _pcr_shifted(dy, alpha, v, n_pad)
-            q = _pcr_shifted(w_new, alpha, v, n_pad)
-            nrm2 = _rowsum(w_new * w_new)
-            nrm = jnp.sqrt(nrm2)
-            wq = _rowsum(w_new * q)
-            delta = (nrm2 / jnp.maximum(wq, _EPS)) * (nrm - safe_lam) / safe_lam
-            alpha_new = jnp.maximum(alpha + delta, 0.0)
-            conv = (jnp.abs(nrm - safe_lam) <= tolb).astype(y.dtype)
+            nrm = jnp.sqrt(_rowsum(w_new * w_new))
+            phi = 1.0 / safe_lam - 1.0 / jnp.maximum(nrm, _EPS)
+            denom = phi - phiprev
+            secant = alpha - phi * (alpha - aprev) / denom
+            alpha_new = jnp.maximum(
+                jnp.where(jnp.abs(denom) > _EPS, secant, alpha), 0.0)
+            inter = ((alpha <= 0) & (nrm <= safe_lam)).astype(y.dtype)
+            conv = ((jnp.abs(nrm - safe_lam) <= tolb).astype(y.dtype)
+                    + inter >= 1.0).astype(y.dtype)
             w = jnp.where(running > 0, w_new, w)
+            interior = jnp.where(running > 0, inter, interior)
+            aprev = jnp.where(running > 0, alpha, aprev)
+            phiprev = jnp.where(running > 0, phi, phiprev)
             alpha = jnp.where(running * (1.0 - conv) > 0, alpha_new, alpha)
             itv = itv + running
             running = running * (1.0 - conv)
-            return alpha, w, itv, running
+            return alpha, aprev, phiprev, w, interior, itv, running
 
         def cond(state):
-            _, _, itv, running = state
+            *_, itv, running = state
             return (jnp.max(running) > 0) & (jnp.max(itv) < float(max_iters))
 
-        running0 = (1.0 - interior) * (1.0 - zero_pen)
-        alpha, w, itv, running = jax.lax.while_loop(
-            cond, body, (alpha0, w0, jnp.zeros_like(y), running0))
+        alpha, _, _, w, interior, itv, running = jax.lax.while_loop(
+            cond, body, (alpha1, a_start, phi_s, w_s, interior0,
+                         jnp.zeros_like(y), running0))
 
-        w = jnp.where(interior > 0, w0, w)
         x = y + (w - _shift_right(w, 1, 0.0))
         x = jnp.where(interior > 0, 0.0, x)       # interior: x = mean (centered)
         x = jnp.where(zero_pen > 0, y, x)
