@@ -687,21 +687,34 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     batched method of choice and the DP engine gives the O(n) worst case.
     """
     method = method.lower()
+    y = jnp.asarray(y)
+    B, n = y.shape
+    try:  # sharded batch -> XLA path (GSPMD); pallas_call is single-device
+        multidev = len(y.sharding.device_set) > 1
+    except Exception:  # noqa: BLE001 — tracers
+        multidev = False
+    fused_ok = (not multidev and y.dtype == jnp.float32 and 2 <= n <= 8192
+                and jax.default_backend() == "tpu")
     scan_methods = {"classictautstring", "linearizedtautstring", "hybridtautstring",
                     "condat", "condattautstring", "tautstring"}
-    if method in scan_methods:
-        return tv1_tautstring(y, lam)
-    if method in ("dp", "kolmogorov", "johnson"):
-        return tv1_dp(y, lam)
+    if method in scan_methods or method in ("dp", "kolmogorov", "johnson"):
+        # On single-device TPU f32, every method routes to the fused PN
+        # kernel: all engines share one exact fixed point (the reference's
+        # tests assert cross-method equality, prox_tv_test.py:37-62) and the
+        # event-driven scan/DP engines gather per lock-step iteration —
+        # orders of magnitude slower on TPU than the VMEM-resident Newton
+        # (and their (B, n) while_loops compile pathologically on the TPU
+        # backend at bench sizes).  This is the TPU analog of the
+        # reference's own hybrid method switching.  The scan/DP engines
+        # remain the exact implementations everywhere else (CPU, f64,
+        # sharded), directly callable as tv1_tautstring / tv1_dp.
+        if not fused_ok:
+            if method in scan_methods:
+                return tv1_tautstring(y, lam)
+            return tv1_dp(y, lam)
+        method = "pn"
     if method == "pn":
-        y = jnp.asarray(y)
-        B, n = y.shape
-        try:  # sharded batch -> XLA path (GSPMD); pallas_call is single-device
-            multidev = len(y.sharding.device_set) > 1
-        except Exception:  # noqa: BLE001 — tracers
-            multidev = False
-        if (not multidev and y.dtype == jnp.float32 and 2 <= n <= 8192
-                and jax.default_backend() == "tpu"):
+        if fused_ok:
             # Fused VMEM-resident Pallas solver (one HBM read/write).
             from .kernels import pn_fused
             n_pad = -(-n // 128) * 128
