@@ -128,6 +128,13 @@ def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False,
     wv = jnp.asarray(np.asarray(w, dtype=np.asarray(y).dtype)).reshape(1, -1)
     assert wv.shape[-1] == y.shape[-1] - 1
     assert bool(jnp.all(wv >= 0))
+    if y.shape[-1] > 16384 and method in ("tautstring", "dp"):
+        # Long single signal: chunked solve+glue+certificate (see tv1_1d);
+        # tv1_long takes the per-edge weight vector directly.
+        from .ops import tv1d_long
+
+        out, info = tv1d_long.tv1_long(y[0], wv[0])
+        return _ret(out[None], info, return_info)
     if method in ("tautstring", "dp"):
         engine = tv1d_l1.tv1_tautstring if method == "tautstring" else tv1d_l1.tv1_dp
         out = engine(y, wv)
