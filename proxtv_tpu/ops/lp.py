@@ -145,9 +145,110 @@ def _coord_root(a, mu, p, bisect_steps, newton_steps):
     return 0.5 * (lo + hi)
 
 
+def _joint_kkt_newton(an, Rn, T, p: float, mu_init, iters: int):
+    """Joint primal-dual Newton on the full projection KKT system
+
+        s_i + mu * p * s_i^{p-1} = an_i   (i = 1..n),    sum_i s_i^p = T,
+
+    for normalized data ``an`` (row-max 1) strictly outside the ball.  The
+    Jacobian is diagonal-plus-border, so each Newton step is closed form:
+
+        ds_i = -(F_i + r_i dmu) / d_i,
+        dmu  = (G - sum r F / d) / sum r^2 / d,       r_i = p s_i^{p-1},
+        d_i  = 1 + mu p (p-1) s_i^{p-2}.
+
+    ~4 pow evaluations per step and quadratic convergence replace the
+    nested bracket/bisect/Newton's ~300 evaluations (src/LPopt.cpp:212's
+    PN_LPp is the same idea in prox form; this is the projection form with
+    the radial-init safeguard instead of the MNSG fallback).  Returns
+    (s, mu, max|F|, |G|) for the caller's acceptance test.
+    """
+    pos = an > 0
+    nrm = jnp.sum(an ** p, axis=-1) ** (1.0 / p)
+    fac0 = Rn / jnp.maximum(nrm, 1e-300)
+    s = an * fac0[..., None]
+    if mu_init is None:
+        # mu consistent with the largest coordinate (an = 1 there):
+        # 1 - fac0 = mu p fac0^{p-1}.
+        mu = (1.0 - fac0) / jnp.maximum(p * fac0 ** (p - 1.0), 1e-300)
+    else:
+        mu = jnp.maximum(jnp.asarray(mu_init, an.dtype), 1e-30)
+
+    def body(_, state):
+        s, mu = state
+        sp1 = s ** (p - 1.0)
+        F = s + mu[..., None] * p * sp1 - an
+        G = jnp.sum(s * sp1, axis=-1) - T
+        d = 1.0 + mu[..., None] * p * (p - 1.0) * s ** (p - 2.0)
+        r = p * sp1
+        rod = r / d
+        A = jnp.sum(rod * F, axis=-1)
+        Bq = jnp.sum(rod * r, axis=-1)
+        dmu = (G - A) / jnp.maximum(Bq, 1e-300)
+        mu_new = jnp.maximum(mu + dmu, 0.0)
+        ds = -(F + r * dmu[..., None]) / d
+        # Keep s in (0, an]: s = 0 with an > 0 would pin the coordinate
+        # (d -> inf for p < 2); the true solution has s > 0 there.
+        s_new = jnp.clip(s + ds, 1e-20, an)
+        s_new = jnp.where(pos, s_new, 0.0)
+        return s_new, mu_new
+
+    s, mu = jax.lax.fori_loop(0, iters, body, (s, mu))
+    sp1 = s ** (p - 1.0)
+    F = jnp.where(pos, s + mu[..., None] * p * sp1 - an, 0.0)
+    G = jnp.sum(s * sp1, axis=-1) - T
+    return s, mu, jnp.max(jnp.abs(F), axis=-1), jnp.abs(G)
+
+
 @functools.partial(jax.jit, static_argnames=("p",))
 def _lp_ball_project_general(y, R, p: float, mu0=None):
     """Projection onto {||x||_p <= R} for p in (1.002, 100), batched.
+
+    Fast path: :func:`_joint_kkt_newton` (quadratic, ~10x fewer pow
+    evaluations), for p in [1.3, 3.6] where fuzzing shows it converges on
+    every lane (outside that range the KKT system is stiff near s -> 0 for
+    p near 1 and the multiplier scale overflows for large p — the same
+    regimes where the reference's PN_LPp needs its MNSG fallback and GPFW
+    abandons FW, src/LPopt.cpp:451-459, src/TVLPopt.cpp:1144).  Lanes whose
+    KKT residuals fail the acceptance test still fall back to the
+    unconditionally-convergent nested root-find
+    (:func:`_lp_ball_project_nested`) behind one scalar branch.
+    """
+    if not (1.3 <= p <= 3.6):
+        return _lp_ball_project_nested(y, R, p, mu0)
+    a = jnp.abs(y)
+    R = jnp.broadcast_to(jnp.asarray(R, y.dtype), y.shape[:-1])
+    nrm = lp_norm(a, p)
+    inside = nrm <= R
+    pos_R = R > 0
+
+    scale = jnp.maximum(jnp.max(a, axis=-1), 1e-300)
+    an = a / scale[..., None]
+    Rn = R / scale
+    T = Rn ** p
+
+    iters = 8 if y.dtype == jnp.float32 else 14
+    s, mu, Fres, Gres = _joint_kkt_newton(an, Rn, T, p, mu0, iters)
+    eps = jnp.finfo(y.dtype).eps
+    ok = ((Fres <= 64.0 * eps) & (Gres <= 64.0 * eps * jnp.maximum(T, 1.0))
+          | inside | ~pos_R)
+
+    def fallback(_):
+        return _lp_ball_project_nested(y, R, p, mu0)
+
+    def accept(_):
+        fac = jnp.minimum(1.0, Rn / jnp.maximum(
+            jnp.sum(s ** p, axis=-1) ** (1.0 / p), 1e-300))
+        x = jnp.sign(y) * s * (fac * scale)[..., None]
+        x = jnp.where(pos_R[..., None], x, jnp.zeros_like(x))
+        return jnp.where(inside[..., None], y, x), mu
+
+    return jax.lax.cond(jnp.all(ok), accept, fallback, None)
+
+
+def _lp_ball_project_nested(y, R, p: float, mu0=None):
+    """Nested monotone root-find projection onto {||x||_p <= R} —
+    unconditionally convergent; the joint-Newton fast path's fallback.
 
     Outer safeguarded root-find on the KKT multiplier mu (G(mu) =
     ||x(mu)||_p^p - R^p is strictly decreasing); inner per-coordinate Newton
