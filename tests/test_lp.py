@@ -120,3 +120,42 @@ def test_linear_oracle(p, rng):
             z = rng.randn(n)
             z = z / max(np.linalg.norm(z, pp), 1e-12) * R
             assert val <= np.dot(z, G[k]) + 1e-8
+
+
+@pytest.mark.parametrize("p", [1.3, 1.5, 2.5, 3.0, 3.6])
+def test_joint_kkt_projection_matches_nested(p, rng):
+    """The joint-Newton fast path (gated to p in [1.3, 3.6]) must agree with
+    the nested monotone root-find across scales, including warm restarts."""
+    for _ in range(5):
+        B, n = 8, 40
+        Y = jnp.asarray(rng.randn(B, n) * 10.0 ** rng.uniform(-2, 2))
+        R = jnp.asarray(np.abs(rng.randn(B)) * 10.0 ** rng.uniform(-2, 1))
+        x1, mu1 = lp._lp_ball_project_general(Y, R, p)
+        x2, _ = lp._lp_ball_project_nested(Y, R, p)
+        scale = float(jnp.abs(Y).max())
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=5e-5 * scale)
+        # warm restart from the converged multiplier: same answer.
+        x3, _ = lp._lp_ball_project_general(Y, R, p, mu0=mu1)
+        np.testing.assert_allclose(np.asarray(x3), np.asarray(x1),
+                                   atol=1e-9 * scale)
+
+
+def test_joint_kkt_projection_certificate(rng):
+    """Accepted joint solutions satisfy the KKT system to near machine
+    precision (the acceptance test is the exactness certificate)."""
+    p = 2.5
+    Y = jnp.asarray(rng.randn(8, 40) * 2)
+    R = jnp.asarray(np.full(8, 1.2))
+    x, mu = lp._lp_ball_project_general(Y, R, p)
+    x = np.asarray(x)
+    mu_n = np.asarray(mu)
+    for k in range(8):
+        nrm = np.sum(np.abs(x[k]) ** p) ** (1 / p)
+        assert nrm <= float(R[k]) * (1 + 1e-10)
+        # Stationarity: |y| - |x| = mu * p * |x|^{p-1} elementwise, with mu
+        # in the solver's max-normalized units (scale^(2-p) converts back).
+        scale = np.abs(np.asarray(Y[k])).max()
+        res = (np.abs(Y[k]) - np.abs(x[k])
+               - mu_n[k] * p * np.abs(x[k]) ** (p - 1.0) * scale ** (2.0 - p))
+        assert np.abs(res).max() < 1e-8 * scale
