@@ -166,7 +166,7 @@ def _joint_kkt_newton(an, Rn, T, p: float, mu_init, iters: int):
     pos = an > 0
     nrm = jnp.sum(an ** p, axis=-1) ** (1.0 / p)
     fac0 = Rn / jnp.maximum(nrm, 1e-300)
-    s = an * fac0[..., None]
+    s0 = an * fac0[..., None]
     if mu_init is None:
         # mu consistent with the largest coordinate (an = 1 there):
         # 1 - fac0 = mu p fac0^{p-1}.
@@ -174,26 +174,55 @@ def _joint_kkt_newton(an, Rn, T, p: float, mu_init, iters: int):
     else:
         mu = jnp.maximum(jnp.asarray(mu_init, an.dtype), 1e-30)
 
-    def body(_, state):
-        s, mu = state
-        sp1 = s ** (p - 1.0)
-        F = s + mu[..., None] * p * sp1 - an
-        G = jnp.sum(s * sp1, axis=-1) - T
-        d = 1.0 + mu[..., None] * p * (p - 1.0) * s ** (p - 2.0)
-        r = p * sp1
-        rod = r / d
-        A = jnp.sum(rod * F, axis=-1)
-        Bq = jnp.sum(rod * r, axis=-1)
-        dmu = (G - A) / jnp.maximum(Bq, 1e-300)
-        mu_new = jnp.maximum(mu + dmu, 0.0)
-        ds = -(F + r * dmu[..., None]) / d
-        # Keep s in (0, an]: s = 0 with an > 0 would pin the coordinate
-        # (d -> inf for p < 2); the true solution has s > 0 there.
-        s_new = jnp.clip(s + ds, 1e-20, an)
-        s_new = jnp.where(pos, s_new, 0.0)
-        return s_new, mu_new
+    if p >= 2.0:
+        def body(_, state):
+            s, mu = state
+            sp1 = s ** (p - 1.0)
+            F = s + mu[..., None] * p * sp1 - an
+            G = jnp.sum(s * sp1, axis=-1) - T
+            d = 1.0 + mu[..., None] * p * (p - 1.0) * s ** (p - 2.0)
+            r = p * sp1
+            rod = r / d
+            A = jnp.sum(rod * F, axis=-1)
+            Bq = jnp.sum(rod * r, axis=-1)
+            dmu = (G - A) / jnp.maximum(Bq, 1e-300)
+            mu_new = jnp.maximum(mu + dmu, 0.0)
+            ds = -(F + r * dmu[..., None]) / d
+            # Keep s in (0, an]: s = 0 with an > 0 would pin the coordinate;
+            # the true solution has s > 0 there.
+            s_new = jnp.clip(s + ds, 1e-20, an)
+            s_new = jnp.where(pos, s_new, 0.0)
+            return s_new, mu_new
 
-    s, mu = jax.lax.fori_loop(0, iters, body, (s, mu))
+        s, mu = jax.lax.fori_loop(0, iters, body, (s0, mu))
+    else:
+        # p < 2: iterate in u = s^{p-1}.  In s-space the Jacobian term
+        # s^{p-2} blows up at s -> 0 (the stiffness that forces the
+        # reference's MNSG fallback); in u-space F = u^rr + mu p u - an with
+        # rr = 1/(p-1) > 1, whose derivative rr u^{rr-1} + mu p is bounded
+        # and positive at u -> 0.
+        rr = 1.0 / (p - 1.0)
+
+        def body_u(_, state):
+            u, mu = state
+            F = u ** rr + mu[..., None] * p * u - an
+            G = jnp.sum(u ** (rr * p), axis=-1) - T
+            d = rr * u ** (rr - 1.0) + mu[..., None] * p
+            g = (rr * p) * u ** (rr * p - 1.0)
+            pu = p * u
+            A = jnp.sum(g * F / d, axis=-1)
+            Bq = jnp.sum(g * pu / d, axis=-1)
+            dmu = (G - A) / jnp.maximum(Bq, 1e-300)
+            mu_new = jnp.maximum(mu + dmu, 0.0)
+            du = -(F + pu * dmu[..., None]) / d
+            u_new = jnp.clip(u + du, 1e-30, an ** (p - 1.0))
+            u_new = jnp.where(pos, u_new, 0.0)
+            return u_new, mu_new
+
+        u, mu = jax.lax.fori_loop(0, iters, body_u,
+                                  (s0 ** (p - 1.0), mu))
+        s = u ** rr
+
     sp1 = s ** (p - 1.0)
     F = jnp.where(pos, s + mu[..., None] * p * sp1 - an, 0.0)
     G = jnp.sum(s * sp1, axis=-1) - T
@@ -205,16 +234,18 @@ def _lp_ball_project_general(y, R, p: float, mu0=None):
     """Projection onto {||x||_p <= R} for p in (1.002, 100), batched.
 
     Fast path: :func:`_joint_kkt_newton` (quadratic, ~10x fewer pow
-    evaluations), for p in [1.3, 3.6] where fuzzing shows it converges on
-    every lane (outside that range the KKT system is stiff near s -> 0 for
-    p near 1 and the multiplier scale overflows for large p — the same
-    regimes where the reference's PN_LPp needs its MNSG fallback and GPFW
-    abandons FW, src/LPopt.cpp:451-459, src/TVLPopt.cpp:1144).  Lanes whose
-    KKT residuals fail the acceptance test still fall back to the
-    unconditionally-convergent nested root-find
-    (:func:`_lp_ball_project_nested`) behind one scalar branch.
+    evaluations), gated to the p range where fuzzing shows every lane
+    converges — [1.05, 3.6] in f64, [1.12, 3.1] in f32 (outside, the
+    Newton dmu overflows for large p — the same regime where the
+    reference's GPFW abandons FW, src/TVLPopt.cpp:1144 — and f32 runs out
+    of precision near p = 1).  Lanes whose KKT residuals fail the
+    acceptance test still fall back to the unconditionally-convergent
+    nested root-find (:func:`_lp_ball_project_nested`) behind one scalar
+    branch, so the gate only avoids wasted work, never correctness.
     """
-    if not (1.3 <= p <= 3.6):
+    y = jnp.asarray(y)
+    lo, hi = (1.05, 3.6) if y.dtype == jnp.float64 else (1.12, 3.1)
+    if not (lo <= p <= hi):
         return _lp_ball_project_nested(y, R, p, mu0)
     a = jnp.abs(y)
     R = jnp.broadcast_to(jnp.asarray(R, y.dtype), y.shape[:-1])
