@@ -29,6 +29,7 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "bench_baseline.json")
 
 M = N = 1024
+M4, N4 = 2160, 3840      # 4K UHD grayscale (BASELINE.md 2D row)
 LAM = 0.3
 B1, N1 = 10000, 1000
 LAM1 = 0.7
@@ -38,7 +39,8 @@ SLONG = 8                # streaming batch of huge signals (sustained rate)
 L3, M3, N3 = 32, 256, 256
 
 # Cached baselines missing any of these keys are re-measured.
-BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_1d_signals_s",
+BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_2d4k_mpx_s", "ref_2d4k_obj",
+             "ref_1d_signals_s",
              "ref_1d_batch_signals_s", "ref_1dw_signals_s", "ref_l2_signals_s",
              "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_2dw_mpx_s",
              "ref_2dw_obj", "ref_3d_mpx_s", "ref_3d_obj", "ref_long1d_ms",
@@ -134,6 +136,18 @@ def measure_reference():
     out["ref_2d_obj"] = float(0.5 * np.sum((X - Y) ** 2)
                               + LAM * (np.abs(np.diff(X, axis=0)).sum()
                                        + np.abs(np.diff(X, axis=1)).sum()))
+
+    # ---- 2D TV-L1 at 4K UHD (the BASELINE.md "4K grayscale" row) ----
+    Y4 = np.ascontiguousarray(rng.randn(M4, N4))
+    X4 = np.zeros_like(Y4)
+    t0 = time.time()
+    lib.DR2_TV(M4, N4, P(Y4), LAM, LAM, 1.0, 1.0, P(X4), nthreads, 35,
+               P(info))
+    t_4k = time.time() - t0
+    out["ref_2d4k_mpx_s"] = M4 * N4 / 1e6 / t_4k
+    out["ref_2d4k_obj"] = float(0.5 * np.sum((X4 - Y4) ** 2)
+                                + LAM * (np.abs(np.diff(X4, axis=0)).sum()
+                                         + np.abs(np.diff(X4, axis=1)).sum()))
 
     # ---- batched 1D TV-L1: (a) sequential ctypes loop (historic number),
     # (b) our native OpenMP batch host (FFI-free, all cores — the honest
@@ -309,6 +323,9 @@ def measure_tpu(base):
     rng = np.random.RandomState(0)
     Y = jnp.asarray(rng.randn(1, M, N).astype(np.float32))
     Yn = np.asarray(Y)[0]
+    # Drawn here to keep the numpy stream aligned with measure_reference's
+    # (same problem instances -> objectives comparable); measured below.
+    Y4 = jnp.asarray(rng.randn(1, M4, N4).astype(np.float32))
 
     # The axon tunnel costs ~30 ms of fixed dispatch latency per timed block
     # (pipelined across calls; measured floor ~1.1 ms/call at 30 reps even
@@ -354,6 +371,16 @@ def measure_tpu(base):
     # 3D video (Yang), single huge 1D signal.
     from proxtv_tpu.models import tvnd
     from proxtv_tpu.ops import tv1d_l2, tv1d_lp
+
+    # ---- 2D at 4K UHD (same fused engine; BASELINE.md's 4K row) ----
+    f4k = jax.jit(lambda Y: tv2d.tv1_2d_batched(
+        Y, LAM, method="chambolle-pock-acc", max_iters=2500)[0])
+    t_2d4k = timed(f4k, Y4)
+    X4n = np.asarray(f4k(Y4))[0]
+    Y4n = np.asarray(Y4)[0]
+    obj_2d4k = float(0.5 * np.sum((X4n - Y4n) ** 2)
+                     + LAM * (np.abs(np.diff(X4n, axis=0)).sum()
+                              + np.abs(np.diff(X4n, axis=1)).sum()))
 
     W1 = jnp.asarray((0.5 + rng.rand(B1, N1 - 1)).astype(np.float32))
     t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_batched(Y, W, method="pn")),
@@ -428,6 +455,8 @@ def measure_tpu(base):
     return {
         "tpu_2d_mpx_s": M * N / 1e6 / t_2d,
         "tpu_2d_obj": float(obj_2d),
+        "tpu_2d4k_mpx_s": M4 * N4 / 1e6 / t_2d4k,
+        "tpu_2d4k_obj": obj_2d4k,
         "tpu_1d_signals_s": B1 / t_1d,
         "tpu_1dw_signals_s": B1 / t_1dw,
         "tpu_l2_signals_s": B1 / t_l2,
@@ -466,6 +495,12 @@ def main():
         "unit": "Mpx/s",
         "vs_baseline": round(vs, 2),
         "extra": {
+            "tpu_2d_4k_mpx_s": round(ours["tpu_2d4k_mpx_s"], 2),
+            "vs_baseline_2d4k": _ratio(ours["tpu_2d4k_mpx_s"],
+                                       base.get("ref_2d4k_mpx_s")),
+            "objective_4k_ok": (None if not base.get("ref_2d4k_obj") else
+                                bool(ours["tpu_2d4k_obj"] <=
+                                     base["ref_2d4k_obj"] * (1 + 1e-4))),
             "tpu_1d_signals_s": round(ours["tpu_1d_signals_s"]),
             "ref_1d_signals_s": round(base["ref_1d_signals_s"]),
             "ref_1d_batch_signals_s": round(base["ref_1d_batch_signals_s"] or 0),
