@@ -243,8 +243,16 @@ def tv2_mspg(y, lam, cfg: TV2Config = DEFAULT_TV2):
     not converged are finished with the More-Sorensen engine.  On TPU both
     phases are batched, so the hybrid costs one PG burst plus one (masked) MS
     solve.
+
+    On single-device TPU f32 the fused MS kernel alone is faster than the PG
+    burst it would skip (the hybrid exists to avoid expensive LAPACK
+    factorizations on CPU, src/TVL2opt.cpp:190); both reach the same fixed
+    point, so the hybrid routes straight to it — the same TPU method
+    aliasing as tv1_batched.
     """
     y = jnp.asarray(y)
+    if _ms_fused_ok(y):
+        return tv2_ms(y, lam, cfg=cfg)
     B, _ = y.shape
     lamv = _lam_vec(lam, B, y.dtype)
     x_pg, info_pg = tv2_pg(y, lam, cfg=cfg, max_iters=cfg.mspg_pg_iters)
