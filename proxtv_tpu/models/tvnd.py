@@ -143,12 +143,14 @@ def _pdhg3d_fused_ok(Y, ds, ps):
 
 
 def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
-                      obj_target=None):
+                      obj_target=None, schedule_override=None):
     """Driver for the temporally-blocked 3D PDHG kernel: volumes stacked
     along L with decoupled gap layers; stops on the per-volume duality-gap
     certificate (see tv2d._run_pdhg_fused — same contract, three dual fields).
 
     ``lams_by_dim``: (lam_L, lam_M, lam_N) scalar penalties per signal dim.
+    ``schedule_override``: optional (sigma0, cap_mult) traced scalars that
+    replace the auto-tuned cp-acc step schedule (sweepable without recompile).
     Reference algorithm covered: Yang3_TV (src/TVNDopt.cpp:678-781), re-posed
     primal-dual and fused.
     """
@@ -166,7 +168,9 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
     Lp = ltiles * tl + 2 * hl
     Mp = mtiles * tm + 2 * hm
 
-    if variant == "cp-acc":
+    if schedule_override is not None:
+        sigma0, cap_mult = [jnp.asarray(v, Y.dtype) for v in schedule_override]
+    elif variant == "cp-acc":
         from .tv2d import _pdhg_sigma_schedule
         lam_eff = jnp.maximum(jnp.maximum(lam_L, lam_M), lam_N)
         sigma0, cap_mult = _pdhg_sigma_schedule(Y, lam_eff, Y.dtype)
