@@ -14,6 +14,7 @@ multi-chip entry points in :mod:`proxtv_tpu.parallel`.
 """
 
 from .api import (  # noqa: F401
+    tv,
     tv1_1d,
     tv1w_1d,
     tv2_1d,

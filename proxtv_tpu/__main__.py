@@ -31,6 +31,17 @@ def main(argv=None):
         s.add_argument("--lam", type=float, required=True)
         s.add_argument("--method", default=None)
 
+    t = sub.add_parser("tv", help="polymorphic TV front end (reference "
+                                  "matlab/TV.m): --lam may be a scalar, a "
+                                  "weight-vector .npy, or two weight-matrix "
+                                  ".npy files (weighted 2D)")
+    t.add_argument("infile")
+    t.add_argument("outfile")
+    t.add_argument("--lam", nargs="+", required=True,
+                   help="scalar | weights.npy | wcol.npy wrow.npy")
+    t.add_argument("--p", type=float, default=1.0)
+    t.add_argument("--max-iters", type=int, default=0)
+
     args = p.parse_args(argv)
 
     if args.cmd == "demo":
@@ -57,6 +68,17 @@ def main(argv=None):
     import proxtv_tpu as ptv
 
     x = np.load(args.infile)
+    if args.cmd == "tv":
+        if len(args.lam) == 2:  # two weight matrices -> weighted 2D
+            lam = [np.load(args.lam[0]), np.load(args.lam[1])]
+        elif args.lam[0].endswith(".npy"):  # weight vector -> weighted 1D
+            lam = np.load(args.lam[0])
+        else:
+            lam = float(args.lam[0])
+        out = ptv.tv(x, lam, p=args.p, max_iters=args.max_iters)
+        np.save(args.outfile, np.asarray(out))
+        print(f"wrote {args.outfile}")
+        return 0
     if args.cmd == "denoise1d":
         kw = {"method": args.method} if args.method else {}
         out = ptv.tv1_1d(x, args.lam, **kw)

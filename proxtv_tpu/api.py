@@ -266,6 +266,76 @@ def tvgen_nd(x, ws, ds, ps, max_iters=0, method="pd", return_info=False):
     return np.asarray(out[0])
 
 
+def tv(y, lam, p=1.0, threads=1, max_iters=0, return_info=False):
+    """Polymorphic TV prox front end — dispatch on the *type* of ``lam``
+    (reference ``matlab/TV.m:22-84``, the MATLAB layer's convenience entry):
+
+    *   ``lam`` a pair (list/tuple of two weight matrices) → weighted 2D TV
+        via :func:`tv1w_2d` (TV.m:30-48 cell-array branch; ``lam[0]`` weights
+        column edges with shape (M-1, N), ``lam[1]`` row edges (M, N-1)).
+        Requires 2D ``y`` and p = 1, as in the reference.
+    *   ``lam`` a weight vector of length ``len(y) - 1`` → weighted 1D TV via
+        the taut-string engine (:func:`tv1w_1d`; TV.m:51-68).  Requires 1D
+        ``y`` and p = 1.
+    *   scalar ``lam``, 1D ``y`` → the 1D dispatcher (reference ``TV()``,
+        src/TVgenopt.cpp:30-57): p = 1 → hybrid taut string, p = 2 → TV-L2
+        mspg, else → TV-Lp gpfw.
+    *   scalar ``lam``, ND ``y`` → :func:`tvgen` with ``lam``/``p`` replicated
+        over every dimension (TV.m:79-80).
+
+    ``threads`` is accepted for API compatibility (parallelism comes from
+    batched fibers / the device mesh).  ``max_iters`` reaches the combiner
+    algorithms (the MATLAB ``mit`` argument); 0 keeps each algorithm's
+    default.
+    """
+    # Cell-array-of-weights branch (TV.m:30-48): a pair of weight matrices.
+    if isinstance(lam, (list, tuple)):
+        if np.asarray(y).ndim != len(lam):
+            raise ValueError(
+                "for an N-dimensional signal the weights must be provided "
+                "as a sequence of length N (reference TV.m:33)")
+        if len(lam) != 2:
+            raise ValueError("only 1D and 2D weighted filtering is supported "
+                             "(reference TV.m:37)")
+        if p != 1:
+            raise ValueError("only the L1 norm is accepted for weighted TV "
+                             "(reference TV.m:41)")
+        return tv1w_2d(y, lam[0], lam[1], max_iters=max_iters,
+                       n_threads=threads, return_info=return_info)
+
+    lam_arr = np.asarray(lam, dtype=float)
+    # Weight-vector branch (TV.m:51-68).
+    if lam_arr.size > 1:
+        yv = np.asarray(y)
+        if yv.ndim != 1:
+            raise ValueError("only 1-dimensional signals are accepted for "
+                             "vector-weighted TV (reference TV.m:58)")
+        if lam_arr.size != yv.size - 1:
+            raise ValueError(
+                "lam should be a scalar or a weight vector with "
+                "len(lam) == len(y) - 1 (reference TV.m:54)")
+        if p != 1:
+            raise ValueError("only the L1 norm is accepted for weighted TV "
+                             "(reference TV.m:62)")
+        return tv1w_1d(y, lam_arr, return_info=return_info)
+
+    w = float(lam_arr)
+    yv = np.asarray(y)
+    if yv.ndim == 1:
+        # 1D dispatcher (reference TV(), src/TVgenopt.cpp:30-57).
+        if p == 1:
+            return tv1_1d(yv, w, return_info=return_info)
+        if p == 2:
+            return tv2_1d(yv, w, return_info=return_info)
+        return tvp_1d(yv, w, float(p), max_iters=max_iters,
+                      return_info=return_info)
+    # ND: lam/p replicated per dimension (TV.m:79-80).
+    nd = yv.ndim
+    return tvgen(yv, [w] * nd, list(range(1, nd + 1)), [float(p)] * nd,
+                 n_threads=threads, max_iters=max_iters,
+                 return_info=return_info)
+
+
 def tv_value(x, ws, ds, ps):
     """Value of the generalized TV penalty (reference TVval, src/TVNDopt.cpp:524)."""
     from .models import tvnd

@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import tv1d_l1, tv1d_l2, tv1d_lp
+from ..ops.kernels import gating
 from ..utils import debug
 from ..utils.config import DEFAULT_COMBINER, CombinerConfig
 from ..utils.info import RC_ITERS, RC_OK, make_info
@@ -58,16 +59,9 @@ from ..utils.info import RC_ITERS, RC_OK, make_info
 # Fiber passes: batched 1D prox along rows / columns of (B, M, N) stacks
 # ---------------------------------------------------------------------------
 
-
-class _FusedFlag:
-    """Trace-time switch for the single-device Pallas kernels.  The public
-    combiners key their jit cache on a static ``use_fused`` argument and set
-    this flag while tracing, so inner helpers (fiber proxes) see the right
-    value without threading a parameter through every level.  Disabled for
-    multi-device (sharded) inputs: a ``pallas_call`` is a single-device op
-    and would force a gather of the sharded operand."""
-
-    value = True
+# Shared trace-time kernel switch + sharding probe (ops/kernels/gating.py).
+_FusedFlag = gating.FusedFlag
+_concrete_multidevice = gating.multidevice
 
 
 import contextlib  # noqa: E402
@@ -83,26 +77,13 @@ def _fused_ctx(on: bool):
         _FusedFlag.value = old
 
 
-def _concrete_multidevice(Y):
-    """True when Y is a concrete jax.Array laid out over >1 device."""
-    try:
-        return len(Y.sharding.device_set) > 1
-    except Exception:  # noqa: BLE001 — tracers / numpy inputs
-        return False
-
-
 def _fused_ok(Y2, p, method):
     """Route to the fused Pallas PN kernel on TPU (f32, moderate n)."""
-    return (_FusedFlag.value and p == 1.0 and method == "pn"
-            and Y2.dtype == jnp.float32 and 2 <= Y2.shape[-1] <= 8192
-            and jax.default_backend() == "tpu")
+    return p == 1.0 and method == "pn" and gating.gate(Y2, "pn")
 
 
 def _fused_tb(n):
-    # ~45 live (tb, n_pad) f32 arrays must fit the ~16 MB VMEM.
-    n_pad = -(-n // 128) * 128
-    tb = (14 << 20) // (180 * n_pad)
-    return int(max(8, min(64, (tb // 8) * 8)))
+    return gating.pn_tile_rows(n, cap=64)
 
 
 def _lam_padded(lam, K, n, dtype):
@@ -395,22 +376,11 @@ def _run_pdhg(Y, w_row, w_col, cap, tol, cfg, variant: str):
 # -- Temporally-blocked fused PDHG (Pallas) ---------------------------------
 
 
-def _pdhg_fused_params(N):
-    """(k_steps, tm) so the kernel's live VMEM windows fit.  Empirically the
-    Mosaic allocator holds ~14 (win, N) f32 arrays live (5 scratch buffers +
-    fori_loop state double-buffers + stencil temporaries)."""
-    budget_rows = (12 << 20) // (14 * 4 * max(N, 128))
-    for k in (12, 8, 6, 4):
-        tm = ((budget_rows - 4 * k) // 8) * 8
-        if tm >= 8 * k:  # keep halo overhead under ~50%
-            return k, tm
-    return 2, max(8, ((budget_rows - 8) // 8) * 8)
+_pdhg_fused_params = gating.pdhg2d_params
 
 
 def _pdhg_fused_ok(Y, variant):
-    B, M, N = Y.shape
-    return (_FusedFlag.value and Y.dtype == jnp.float32
-            and jax.default_backend() == "tpu" and N <= 8192 and M >= 16)
+    return Y.shape[1] >= 16 and gating.gate(Y, "pdhg2d")
 
 
 def _pdhg_sigma_schedule(Y, lam_eff, dtype):

@@ -136,10 +136,9 @@ def _loop(body, init_state, x_of, cap, tol):
 def _pdhg3d_fused_ok(Y, ds, ps):
     """Fused 3D PDHG requires: (B, L, M, N) volumes penalized on all three
     signal dims with p = 1, f32 on TPU, and a line that fits VMEM."""
-    return (tv2d._FusedFlag.value and Y.ndim == 4
-            and tuple(sorted(ds)) == (1, 2, 3)
-            and all(p == 1.0 for p in ps) and Y.dtype == jnp.float32
-            and Y.shape[-1] <= 2048 and jax.default_backend() == "tpu")
+    from ..ops.kernels import gating
+    return (Y.ndim == 4 and tuple(sorted(ds)) == (1, 2, 3)
+            and all(p == 1.0 for p in ps) and gating.gate(Y, "pdhg3d"))
 
 
 def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
@@ -151,6 +150,9 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
     ``lams_by_dim``: (lam_L, lam_M, lam_N) scalar penalties per signal dim.
     ``schedule_override``: optional (sigma0, cap_mult) traced scalars that
     replace the auto-tuned cp-acc step schedule (sweepable without recompile).
+    ``cap_mult`` caps the accelerated sigma growth, so it only takes effect
+    with ``variant='cp-acc'``; for the constant-step variants (cp / condat,
+    theta = 1) the override's sigma0 applies and cap_mult is ignored.
     Reference algorithm covered: Yang3_TV (src/TVNDopt.cpp:678-781), re-posed
     primal-dual and fused.
     """

@@ -1,0 +1,95 @@
+"""Shared gating rules + VMEM budget formulas for the fused Pallas kernels.
+
+Every fused single-device kernel (PN TV-L1, More-Sorensen TV-L2, the 2D/3D
+PDHG stencils, the long-signal window solver) must answer the same questions
+before it is allowed to run:
+
+*   backend — the kernels are Mosaic/TPU programs (XLA paths serve CPU/GPU);
+*   dtype — they are f32 by design (f64 runs use the XLA compositions);
+*   shape — one fiber/line must fit the kernel's VMEM working set;
+*   sharding — a ``pallas_call`` is a single-device op, so a concretely
+    multi-device operand must take the GSPMD-shardable XLA path instead
+    (combiners set :class:`FusedFlag` off while tracing sharded solves, since
+    tracers carry no sharding to inspect).
+
+Centralizing them here (VERDICT r2 item 9) prevents the constants from
+drifting apart as the kernels evolve; ``tests/test_kernels.py`` pins the
+budget formulas' concrete tile choices.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class FusedFlag:
+    """Trace-time switch for the single-device Pallas kernels.  The public
+    combiners key their jit cache on a static ``use_fused`` argument and set
+    this flag while tracing, so inner helpers (fiber proxes) see the right
+    value without threading a parameter through every level.  Disabled for
+    multi-device (sharded) inputs: a ``pallas_call`` is a single-device op
+    and would force a gather of the sharded operand."""
+
+    value = True
+
+
+def multidevice(y) -> bool:
+    """True when y is a concrete jax.Array laid out over >1 device."""
+    try:
+        return len(y.sharding.device_set) > 1
+    except Exception:  # noqa: BLE001 — tracers / numpy inputs
+        return False
+
+
+# Lane-length (last-axis) limits per kernel family: the upper end is the
+# largest line whose working set fits VMEM at the minimum tile height.
+_KIND_LANE_LIMITS = {
+    "pn": (2, 8192),        # fused projected Newton (ops/kernels/pn_fused.py)
+    "ms": (2, 8192),        # fused More-Sorensen (ops/kernels/ms_fused.py)
+    "pn_window": (2, 8192),  # long-signal window solve (ops/tv1d_long.py)
+    "pdhg2d": (1, 8192),    # 2D PDHG stencil (ops/kernels/pdhg_fused.py)
+    "pdhg3d": (1, 2048),    # 3D PDHG stencil (ops/kernels/pdhg3d_fused.py)
+}
+
+
+def gate(y, kind: str, respect_flag: bool = True) -> bool:
+    """Common backend/dtype/shape/sharding gate for kernel family ``kind``.
+
+    ``y``'s last axis is the fiber/line dimension checked against the
+    family's VMEM lane limits.  Call sites add their algorithm-specific
+    conditions (p == 1, method names, minimum row counts) on top.
+    """
+    lo, hi = _KIND_LANE_LIMITS[kind]
+    if not (jax.default_backend() == "tpu" and y.dtype == jnp.float32
+            and lo <= y.shape[-1] <= hi):
+        return False
+    if respect_flag and not FusedFlag.value:
+        return False
+    return not multidevice(y)
+
+
+def pn_tile_rows(n: int, cap: int = 64) -> int:
+    """Rows per VMEM tile for the fused PN-family kernels.
+
+    ~45 live (tb, n_pad) f32 arrays (solver state, PCR double-buffers,
+    stencil temporaries — Mosaic holds ~3x more than the declared scratch)
+    must fit a ~14 MB VMEM budget.  ``cap`` differs by call site: 32 for the
+    standalone batched solve (fewer straggler lanes per tile at equal
+    residency), 64 for combiner fiber sweeps and window solves.
+    """
+    n_pad = -(-n // 128) * 128
+    tb = (14 << 20) // (180 * n_pad)
+    return int(max(8, min(cap, (tb // 8) * 8)))
+
+
+def pdhg2d_params(N: int):
+    """(k_steps, tm) for the temporally-blocked 2D PDHG kernel so the live
+    VMEM windows fit.  Empirically the Mosaic allocator holds ~14 (win, N)
+    f32 arrays live (5 scratch buffers + fori_loop state double-buffers +
+    stencil temporaries)."""
+    budget_rows = (12 << 20) // (14 * 4 * max(N, 128))
+    for k in (12, 8, 6, 4):
+        tm = ((budget_rows - 4 * k) // 8) * 8
+        if tm >= 8 * k:  # keep halo overhead under ~50%
+            return k, tm
+    return 2, max(8, ((budget_rows - 8) // 8) * 8)

@@ -686,15 +686,12 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     switching heuristic is unnecessary on TPU: the scan engine is already the
     batched method of choice and the DP engine gives the O(n) worst case.
     """
+    from .kernels import gating
+
     method = method.lower()
     y = jnp.asarray(y)
     B, n = y.shape
-    try:  # sharded batch -> XLA path (GSPMD); pallas_call is single-device
-        multidev = len(y.sharding.device_set) > 1
-    except Exception:  # noqa: BLE001 — tracers
-        multidev = False
-    fused_ok = (not multidev and y.dtype == jnp.float32 and 2 <= n <= 8192
-                and jax.default_backend() == "tpu")
+    fused_ok = gating.gate(y, "pn")
     scan_methods = {"classictautstring", "linearizedtautstring", "hybridtautstring",
                     "condat", "condattautstring", "tautstring"}
     if method in scan_methods or method in ("dp", "kolmogorov", "johnson"):
@@ -717,10 +714,9 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
         if fused_ok:
             # Fused VMEM-resident Pallas solver (one HBM read/write).
             from .kernels import pn_fused
-            n_pad = -(-n // 128) * 128
             # tb=32 wins over 64 at bench shapes (fewer straggler lanes per
             # tile at equal VMEM residency); cap by the VMEM budget.
-            tb = int(max(8, min(32, ((14 << 20) // (180 * n_pad) // 8) * 8)))
+            tb = gating.pn_tile_rows(n, cap=32)
             if jnp.ndim(lam) == 0:
                 # Uniform penalty rides to the kernel as an SMEM scalar —
                 # no (B, n) penalty field ever touches HBM.

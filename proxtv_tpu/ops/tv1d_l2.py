@@ -58,11 +58,8 @@ def _lam_vec(lam, B, dtype):
 def _ms_fused_ok(y):
     """Route to the fused Pallas MS kernel on TPU (f32, moderate n,
     single-device input — a pallas_call would gather a sharded operand)."""
-    if (jax.default_backend() != "tpu" or y.dtype != jnp.float32
-            or not (2 <= y.shape[-1] <= 8192)):
-        return False
-    from ..models.tv2d import _FusedFlag, _concrete_multidevice
-    return _FusedFlag.value and not _concrete_multidevice(y)
+    from .kernels import gating
+    return gating.gate(y, "ms")
 
 
 def tv2_ms(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,

@@ -145,14 +145,16 @@ def _windows(a, K: int, chunk: int, overlap: int):
 
 
 def _fused_win_ok(Yw):
-    win = Yw.shape[-1]
-    return (Yw.dtype == jnp.float32 and 2 <= win <= 8192
-            and jax.default_backend() == "tpu")
+    # The window arrays are built inside this module's jit (never concretely
+    # sharded), so the gate reduces to backend/dtype/shape + the trace-time
+    # kernel flag.
+    from .kernels import gating
+    return gating.gate(Yw, "pn_window")
 
 
 def _win_tb(win):
-    n_pad = -(-win // 128) * 128
-    return int(max(8, min(64, ((14 << 20) // (180 * n_pad) // 8) * 8)))
+    from .kernels import gating
+    return gating.pn_tile_rows(win, cap=64)
 
 
 def _solve_windows(Yw, lam_w):

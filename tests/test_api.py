@@ -111,3 +111,57 @@ def test_tvgen_three_terms_mixed_norms(rng):
     v_in = ptv.tv_value(X, [1.0, 1.0, 1.0], [1, 2, 3], [1.0, 2.0, 1.0])
     v_out = ptv.tv_value(out, [1.0, 1.0, 1.0], [1, 2, 3], [1.0, 2.0, 1.0])
     assert v_out < v_in
+
+
+def test_tv_polymorphic_weighted_2d(rng):
+    """tv() with a pair of weight matrices -> weighted 2D (TV.m:30-48)."""
+    Y = rng.randn(10, 12)
+    Wc = rng.rand(9, 12) * 0.5
+    Wr = rng.rand(10, 11) * 0.5
+    out = ptv.tv(Y, [Wc, Wr])
+    ref = ptv.tv1w_2d(Y, Wc, Wr)
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+    # Dimensionality / p validation mirrors the reference's errors.
+    import pytest
+    with pytest.raises(ValueError):
+        ptv.tv(rng.randn(8), [Wc, Wr])          # 1D signal, 2 weight arrays
+    with pytest.raises(ValueError):
+        ptv.tv(Y, [Wc, Wr, Wc])                  # 3 terms unsupported
+    with pytest.raises(ValueError):
+        ptv.tv(Y, [Wc, Wr], p=2)                 # weighted TV is L1-only
+
+
+def test_tv_polymorphic_weighted_1d(rng):
+    """tv() with a weight vector -> weighted 1D taut string (TV.m:51-68)."""
+    y = rng.randn(25)
+    w = rng.rand(24)
+    np.testing.assert_allclose(ptv.tv(y, w), ptv.tv1w_1d(y, w), atol=1e-10)
+    import pytest
+    with pytest.raises(ValueError):
+        ptv.tv(y, w[:-1])                        # wrong weight count
+    with pytest.raises(ValueError):
+        ptv.tv(rng.randn(5, 5), rng.rand(24))    # 2D signal, vector weights
+    with pytest.raises(ValueError):
+        ptv.tv(y, w, p=1.5)                      # weighted TV is L1-only
+
+
+def test_tv_polymorphic_scalar_1d(rng):
+    """tv() scalar branch: p-dispatch of the 1D solver (TVgenopt.cpp:30-57)."""
+    y = rng.randn(30)
+    np.testing.assert_allclose(ptv.tv(y, 0.7), ptv.tv1_1d(y, 0.7), atol=1e-6)
+    np.testing.assert_allclose(ptv.tv(y, 0.7, p=2), ptv.tv2_1d(y, 0.7),
+                               atol=1e-6)
+    np.testing.assert_allclose(ptv.tv(y, 0.7, p=1.5), ptv.tvp_1d(y, 0.7, 1.5),
+                               atol=1e-5)
+
+
+def test_tv_polymorphic_scalar_nd(rng):
+    """tv() scalar + ND branch: tvgen with lam/p per dimension (TV.m:79-80)."""
+    Y = rng.randn(8, 9)
+    out = ptv.tv(Y, 0.4)
+    ref = ptv.tvgen(Y, [0.4, 0.4], [1, 2], [1.0, 1.0])
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+    Z = rng.randn(4, 5, 6)
+    out3, info3 = ptv.tv(Z, 0.3, return_info=True)
+    ref3 = ptv.tvgen(Z, [0.3] * 3, [1, 2, 3], [1.0] * 3)
+    np.testing.assert_allclose(out3, ref3, atol=1e-10)

@@ -218,3 +218,27 @@ def test_ms_fused_rows_warm_and_degenerate(rng):
         jnp.asarray(Y), lam_rows=jnp.asarray(lams), alpha_init=alpha, tb=8)
     np.testing.assert_allclose(np.asarray(x2), x, atol=1e-4)
     assert np.all(np.asarray(iters2) <= np.asarray(iters) + 1)
+
+
+def test_gating_budget_formulas_pinned():
+    """Pin the shared VMEM budget formulas (ops/kernels/gating.py) so kernel
+    tile choices cannot drift silently — VERDICT r2 item 9."""
+    from proxtv_tpu.ops.kernels import gating
+
+    # PN-family tile rows: (14 MB / 180 bytes-per-lane-row) floored to /8.
+    assert gating.pn_tile_rows(1000, cap=64) == 64
+    assert gating.pn_tile_rows(1000, cap=32) == 32
+    assert gating.pn_tile_rows(4096, cap=64) == 16
+    assert gating.pn_tile_rows(8192, cap=64) == 8   # floor
+    assert gating.pn_tile_rows(6400, cap=64) == 8
+
+    # 2D PDHG (k_steps, tm) pairs at bench-relevant widths.
+    assert gating.pdhg2d_params(1024) == (12, 168)
+    assert gating.pdhg2d_params(2048) == (8, 72)
+    assert gating.pdhg2d_params(4096) == (4, 32)
+    assert gating.pdhg2d_params(128) == (12, 1704)
+
+    # The gate itself: off-TPU backends always refuse.
+    import jax.numpy as jnp
+    y = jnp.zeros((4, 64), jnp.float32)
+    assert gating.gate(y, "pn") == (__import__("jax").default_backend() == "tpu")

@@ -93,6 +93,26 @@ def test_pdhg3d_zero_lam_identity(rng):
     assert np.all(np.asarray(info.rc) == 0)
 
 
+def test_pdhg3d_schedule_override_matches_auto(rng):
+    """Passing schedule_override equal to the auto-tuned (sigma0, cap_mult)
+    must reproduce the cp-acc path exactly (ADVICE r2: the override parameter
+    needs coverage so regressions in it are caught)."""
+    from proxtv_tpu.models.tv2d import _pdhg_sigma_schedule
+
+    Y = jnp.asarray(rng.randn(1, 4, 9, 9).astype(np.float32))
+    lams = (0.3, 0.4, 0.35)
+    lam_eff = jnp.asarray(max(lams), jnp.float32)
+    sigma0, cap_mult = _pdhg_sigma_schedule(Y, lam_eff, jnp.float32)
+    x_auto, info_auto = tvnd._run_pdhg3d_fused(Y, lams, 96, CFG, "cp-acc",
+                                               gap_tol=0.0)
+    x_over, info_over = tvnd._run_pdhg3d_fused(
+        Y, lams, 96, CFG, "cp-acc", gap_tol=0.0,
+        schedule_override=(sigma0, cap_mult))
+    np.testing.assert_array_equal(np.asarray(x_auto), np.asarray(x_over))
+    np.testing.assert_array_equal(np.asarray(info_auto.iters),
+                                  np.asarray(info_over.iters))
+
+
 def test_pdhg3d_method_validation(rng):
     Y = jnp.asarray(rng.randn(1, 3, 4, 5))  # f64 on CPU -> not fused-capable
     with pytest.raises(ValueError):
