@@ -57,29 +57,45 @@ _TAUTSTRING_METHODS = {"classictautstring", "linearizedtautstring",
                        "hybridtautstring", "condat", "condattautstring"}
 
 
-def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
+def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,
            return_info=False, backend="auto"):
     """1D TV-L1 prox: min_y 0.5||x-y||^2 + w * sum |y_{i+1} - y_i|.
 
-    Reference: prox_tv/__init__.py:124-216.  Methods: classictautstring,
-    linearizedtautstring, hybridtautstring (default), pn, condat, dp,
-    condattautstring, kolmogorov.
+    Reference: prox_tv/__init__.py:124-216.  Methods: auto (default),
+    classictautstring, linearizedtautstring, hybridtautstring (the
+    reference's default), pn, condat, dp, condattautstring, kolmogorov.
 
-    ``maxbacktracks`` bounds backtracking in the reference's hybrid scan (it
-    switches to a worst-case-linear method after that many backtracks,
-    src/TVL1opt_hybridtautstring.cpp:56).  The TPU scan engine is already
-    exact, so passing any ``maxbacktracks`` honors the *intent* by routing to
-    the message-passing engine whose worst case is O(n) with zero backtracks.
+    **Auto policy** (``method='auto'``): the solver is chosen for the
+    platform — the native host taut string for a single short signal
+    (microsecond latency; a short signal pays tens of ms of TPU dispatch
+    latency for microseconds of compute), the device scan/Newton engines at
+    moderate n, and for n > 16384 the TPU-resident chunked
+    solve+glue+certify path (:func:`proxtv_tpu.ops.tv1d_long.tv1_long`,
+    exact by duality-gap certificate).  With ``maxbacktracks`` set, auto
+    honors the *intent* of the reference's hybrid backtrack bound
+    (src/TVL1opt_hybridtautstring.cpp:56 switches to a worst-case-linear
+    method) by routing to the message-passing engine whose worst case is
+    O(n) with zero backtracks.
+
+    An **explicit** method is honored faithfully at every size: the named
+    engine runs even when the auto policy would pick a faster route.  Note
+    the lock-step scan/DP engines pay one sequential while-step per sample
+    on accelerators, so an explicit scan method at n >> 16384 is orders of
+    magnitude slower than ``method='auto'`` at an equal result (all engines
+    share one exact fixed point).  ``maxbacktracks`` with an explicit
+    taut-string method is a no-op bound: the batched scan engine never
+    backtracks.
 
     ``backend='auto'`` routes single host signals with taut-string-family
-    methods to the native C++ engine (microsecond latency — a single short
-    signal pays tens of ms of TPU dispatch latency for microseconds of
-    compute); ``backend='tpu'`` forces the device path.  Both backends return
-    the same dtype (the JAX default float).
+    methods to the native C++ engine; ``backend='tpu'`` forces the device
+    path.  Both backends return the same dtype (the JAX default float).
     """
+    auto = method == "auto"
+    if auto:
+        method = "hybridtautstring"
     assert method in _TV1_METHODS, f"unknown method {method}"
     assert w >= 0
-    if maxbacktracks is not None and method in _TAUTSTRING_METHODS:
+    if auto and maxbacktracks is not None and method in _TAUTSTRING_METHODS:
         method = "dp"
     n = int(np.asarray(x).size)
     if backend == "auto" and method in _TAUTSTRING_METHODS and not return_info:
@@ -88,7 +104,7 @@ def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
         if native.available():
             out = native.tv1_host(np.asarray(x, dtype=float).ravel(), float(w))
             return _native_ret(out)
-    if n > 16384 and method != "pn":
+    if auto and n > 16384 and method != "pn":
         # Long single signal: the lock-step scan engines pay one sequential
         # while-step per sample — route to the TPU-resident chunked
         # solve+glue+polish path (ops/tv1d_long.py), exact by certificate.
@@ -108,14 +124,22 @@ def tv1_1d(x, w, method="hybridtautstring", sigma=0.05, maxbacktracks=None,
     return _ret(out, info, return_info)
 
 
-def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False,
+def tv1w_1d(x, w, method="auto", sigma=0.05, return_info=False,
             backend="auto"):
     """Weighted 1D TV-L1 prox: min_y 0.5||x-y||^2 + sum_i w_i |y_{i+1} - y_i|.
 
-    Reference: prox_tv/__init__.py:218-254.  Methods: tautstring (default), pn;
-    we additionally expose 'dp' (message passing).  ``backend`` as in
-    :func:`tv1_1d`.
+    Reference: prox_tv/__init__.py:218-254.  Methods: auto (default),
+    tautstring (the reference's default), pn; we additionally expose 'dp'
+    (message passing).  ``backend`` as in :func:`tv1_1d`.
+
+    Auto policy: taut-string semantics, with n > 16384 routed to the chunked
+    solve+glue+certify path.  An explicit method runs the named engine at
+    every size (the lock-step scans pay one sequential while-step per sample
+    on accelerators — see :func:`tv1_1d`).
     """
+    auto = method == "auto"
+    if auto:
+        method = "tautstring"
     if backend == "auto" and method == "tautstring" and not return_info:
         from .runtime import native
 
@@ -128,7 +152,7 @@ def tv1w_1d(x, w, method="tautstring", sigma=0.05, return_info=False,
     wv = jnp.asarray(np.asarray(w, dtype=np.asarray(y).dtype)).reshape(1, -1)
     assert wv.shape[-1] == y.shape[-1] - 1
     assert bool(jnp.all(wv >= 0))
-    if y.shape[-1] > 16384 and method in ("tautstring", "dp"):
+    if auto and y.shape[-1] > 16384 and method in ("tautstring", "dp"):
         # Long single signal: chunked solve+glue+certificate (see tv1_1d);
         # tv1_long takes the per-edge weight vector directly.
         from .ops import tv1d_long

@@ -356,6 +356,30 @@ def _tv_nd_batched(Y, ws, ds, ps, max_iters, method, inner_method, cfg,
                                  cfg, variant)
 
     states0 = tuple(_state_init(Y, ds[i], ps[i]) for i in range(npen))
+    if method == "pd2":
+        # Sequential Proximal Dykstra for exactly two terms (reference
+        # PD2_TV, src/TV2Dopt.cpp:59, the solveTVgen.cpp:90-97 route for
+        # 2-term problems): alternating proxes with p/q correction terms,
+        # no lambda rescale and no averaging — same fixed point as the
+        # parallel engine but the reference's iteration behavior for the
+        # 2-term case.
+        if npen != 2:
+            raise ValueError("method 'pd2' (sequential Dykstra) requires "
+                             "exactly 2 penalty terms")
+        cap = max_iters or cfg.max_iters_pd
+
+        def body(state):
+            x, p, q, s1, s2 = state
+            xp, s1 = prox_i(0, x + p, 1.0, s1)
+            p = x + p - xp
+            x2, s2 = prox_i(1, xp + q, 1.0, s2)
+            q = xp + q - x2
+            return x2, p, q, s1, s2
+
+        z = jnp.zeros_like(Y)
+        init = (Y, z, z, states0[0], states0[1])
+        return _loop(body, init, lambda s: s[0], cap, tol)
+
     if method == "pd":
         # Parallel Dykstra: z_i staging, lambda_i * npen rescale, mean combine
         # (reference src/TVNDopt.cpp:100-101, 212-214).
@@ -425,7 +449,8 @@ def tvgen_dispatch(X, ws, ds, ps, max_iters: int = 0,
                    cfg: CombinerConfig = DEFAULT_COMBINER):
     """Unbatched generalized-TV entry with the intended (MATLAB) dispatch
     (matlab/solveTVgen.cpp:90-97): 2D signal with both dims penalized ->
-    2D Douglas-Rachford; otherwise Parallel Proximal Dykstra.
+    2D Douglas-Rachford; two arbitrary terms -> sequential Proximal Dykstra
+    (``pd2``); more -> Parallel Proximal Dykstra.
 
     Returns (x, info) for a single tensor.
     """
@@ -441,6 +466,9 @@ def tvgen_dispatch(X, ws, ds, ps, max_iters: int = 0,
                                       ps[i_col], ps[i_row], max_iters=max_iters,
                                       cfg=cfg)
         return x[0], info
+    # Two arbitrary terms -> sequential Dykstra (reference PD2_TV route,
+    # matlab/solveTVgen.cpp:93-94); more -> Parallel Proximal Dykstra.
+    method = "pd2" if len(ws) == 2 else "pd"
     x, info = tv_nd_batched(X[None], ws, ds, ps, max_iters=max_iters,
-                            method="pd", cfg=cfg)
+                            method=method, cfg=cfg)
     return x[0], info

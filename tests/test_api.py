@@ -165,3 +165,29 @@ def test_tv_polymorphic_scalar_nd(rng):
     out3, info3 = ptv.tv(Z, 0.3, return_info=True)
     ref3 = ptv.tvgen(Z, [0.3] * 3, [1, 2, 3], [1.0] * 3)
     np.testing.assert_allclose(out3, ref3, atol=1e-10)
+
+
+def test_tv1_1d_explicit_method_honored_above_long_threshold(rng):
+    """VERDICT r2 item 8: an explicit method must run the named engine even
+    above the n > 16384 auto threshold (only method='auto' reroutes to the
+    chunked certificate path), and both must agree."""
+    n = 16500
+    y = np.cumsum(rng.randn(n)) * 0.1
+    x_auto, info = ptv.tv1_1d(y, 1.0, return_info=True, backend="tpu")
+    x_dp = ptv.tv1_1d(y, 1.0, method="dp", backend="tpu")
+    np.testing.assert_allclose(x_dp, x_auto, atol=1e-5)
+    # maxbacktracks only reroutes under auto; an explicit taut method keeps
+    # its engine (the batched scan never backtracks, so the bound is a no-op).
+    x_t = ptv.tv1_1d(y[:200], 1.0, method="hybridtautstring", maxbacktracks=3,
+                     backend="tpu")
+    x_t2 = ptv.tv1_1d(y[:200], 1.0, method="hybridtautstring", backend="tpu")
+    np.testing.assert_array_equal(x_t, x_t2)
+
+
+def test_tv1w_1d_explicit_method_honored_above_long_threshold(rng):
+    n = 16500
+    y = np.cumsum(rng.randn(n)) * 0.1
+    w = np.full(n - 1, 1.0)
+    x_auto = ptv.tv1w_1d(y, w, backend="tpu")
+    x_ts = ptv.tv1w_1d(y, w, method="tautstring", backend="tpu")
+    np.testing.assert_allclose(x_ts, x_auto, atol=1e-5)

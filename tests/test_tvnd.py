@@ -104,3 +104,31 @@ def test_tvgen_dispatch_2d_mixed_p(rng):
     ref, _ = tv2d.tvp_2d_batched(jnp.asarray(X)[None], 0.3, 0.4, 1.0, 2.0,
                                  max_iters=300)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref)[0], atol=1e-6)
+
+
+def test_pd2_sequential_dykstra_3d(rng):
+    """A 2-term 3D problem routed through sequential Dykstra (reference
+    PD2_TV / solveTVgen.cpp:93-94) agrees with the parallel engines to the
+    cross-method contract (VERDICT r2 item 6)."""
+    Y = rng.randn(2, 6, 7, 8)
+    ws, ds, ps = (0.35, 0.25), (1, 3), (1.0, 2.0)
+    x_pd2, info2 = tvnd.tv_nd_batched(Y, ws, ds, ps, method="pd2")
+    x_pd, _ = tvnd.tv_nd_batched(Y, ws, ds, ps, method="pd")
+    x_pdr, _ = tvnd.tv_nd_batched(Y, ws, ds, ps, method="pdr")
+    np.testing.assert_allclose(np.asarray(x_pd2), np.asarray(x_pd), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(x_pd2), np.asarray(x_pdr), atol=1e-3)
+    assert np.asarray(info2.iters).shape == (2,)
+
+    # tvgen_dispatch routes len(ws)==2 non-2D problems through pd2 (the
+    # lock-step loop keeps improving converged batch elements, so a batch-1
+    # solve differs from the same element inside a batch-2 solve by the
+    # extra sweeps — compare at the convergence tolerance).
+    x_gen, _ = tvnd.tvgen_dispatch(Y[0], ws, ds, ps)
+    np.testing.assert_allclose(np.asarray(x_gen), np.asarray(x_pd2)[0],
+                               atol=1e-4)
+
+    # pd2 demands exactly two terms.
+    import pytest
+    with pytest.raises(ValueError):
+        tvnd.tv_nd_batched(Y, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0),
+                           method="pd2")
