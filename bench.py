@@ -42,7 +42,8 @@ L3, M3, N3 = 32, 256, 256
 BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_2d4k_mpx_s", "ref_2d4k_obj",
              "ref_1d_signals_s",
              "ref_1d_batch_signals_s", "ref_1dw_signals_s", "ref_l2_signals_s",
-             "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_2dw_mpx_s",
+             "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_lp5_signals_s",
+             "ref_2dw_mpx_s",
              "ref_2dw_obj", "ref_3d_mpx_s", "ref_3d_obj", "ref_long1d_ms",
              "ref_long1d_stream_ms", "ref_threads"]
 
@@ -200,7 +201,8 @@ def measure_reference():
     out["ref_l2_signals_s"] = B1 / best
 
     # ---- TV-Lp (GPFW_TVp, thread pool, BLP signals) ----
-    for p, key in ((1.5, "ref_lp15_signals_s"), (3.0, "ref_lp3_signals_s")):
+    for p, key in ((1.5, "ref_lp15_signals_s"), (3.0, "ref_lp3_signals_s"),
+                   (5.0, "ref_lp5_signals_s")):
         def run_lp(k, p=p):
             x = np.zeros(N1)
             inf = np.zeros(3)
@@ -390,6 +392,10 @@ def measure_tpu(base):
                    Y1[:512])
     t_lp3 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 3.0)[0]),
                   Y1[:512])
+    # p = 5 exercises the nested-root-find projection (outside the
+    # joint-Newton gate) so the fallback path's throughput is also proven.
+    t_lp5 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 5.0)[0]),
+                  Y1[:512])
 
     # Weighted 2D and 3D: equal-objective mode (BASELINE.md contract — run to
     # the reference's achieved objective; the per-image duality-gap
@@ -462,6 +468,7 @@ def measure_tpu(base):
         "tpu_l2_signals_s": B1 / t_l2,
         "tpu_lp15_signals_s": 512 / t_lp15,
         "tpu_lp3_signals_s": 512 / t_lp3,
+        "tpu_lp5_signals_s": 512 / t_lp5,
         "tpu_2dw_mpx_s": M * N / 1e6 / t_2dw,
         "tpu_2dw_obj": obj_2dw,
         "tpu_3d_mpx_s": L3 * M3 * N3 / 1e6 / t_3d,
@@ -477,8 +484,26 @@ def _ratio(a, b):
     return round(a / b, 2)
 
 
+def run_parity():
+    """Regenerate PARITY_run.json (VERDICT r2 item 7): differential checks
+    vs the reference C library, run as a CPU subprocess so the random
+    per-trial shapes don't trigger an axon AOT compile storm."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "parity_vs_reference.py")],
+            env=env, capture_output=True, text=True, timeout=900)
+        log(r.stdout[-2000:], r.stderr[-2000:])
+        return r.returncode == 0
+    except Exception as e:  # noqa: BLE001
+        log("parity run failed:", e)
+        return None
+
+
 def main():
     base = get_baseline()
+    parity_ok = run_parity()
     ours = measure_tpu(base)
     log("baseline:", base)
     log("ours:", ours)
@@ -518,6 +543,9 @@ def main():
             "tpu_tvlp_p3_signals_s": round(ours["tpu_lp3_signals_s"]),
             "vs_baseline_lp3": _ratio(ours["tpu_lp3_signals_s"],
                                       base["ref_lp3_signals_s"]),
+            "tpu_tvlp_p5_signals_s": round(ours["tpu_lp5_signals_s"]),
+            "vs_baseline_lp5": _ratio(ours["tpu_lp5_signals_s"],
+                                      base.get("ref_lp5_signals_s")),
             "tpu_2d_weighted_mpx_s": round(ours["tpu_2dw_mpx_s"], 2),
             "vs_baseline_2dw": _ratio(ours["tpu_2dw_mpx_s"],
                                       base["ref_2dw_mpx_s"]),
@@ -542,6 +570,7 @@ def main():
                 base.get("ref_long1d_stream_ms"),
                 ours["tpu_long1d_stream_ms"]),
             "objective_ok": bool(obj_ok),
+            "parity_ok": parity_ok,
         },
     }))
 

@@ -264,15 +264,24 @@ def _lp_ball_project_general(y, R, p: float, mu0=None):
     ok = ((Fres <= 64.0 * eps) & (Gres <= 64.0 * eps * jnp.maximum(T, 1.0))
           | inside | ~pos_R)
 
+    fac = jnp.minimum(1.0, Rn / jnp.maximum(
+        jnp.sum(s ** p, axis=-1) ** (1.0 / p), 1e-300))
+    x_joint = jnp.sign(y) * s * (fac * scale)[..., None]
+    x_joint = jnp.where(pos_R[..., None], x_joint, jnp.zeros_like(x_joint))
+    x_joint = jnp.where(inside[..., None], y, x_joint)
+
     def fallback(_):
-        return _lp_ball_project_nested(y, R, p, mu0)
+        # Per-lane merge (VERDICT r2 item 4): lanes whose joint KKT
+        # residuals passed keep the quadratically-converged joint result;
+        # only the rejected lanes take the nested root-find's answer (the
+        # nested solve is lock-step full-width vector work either way, but
+        # the joint pass's result is no longer discarded for good lanes).
+        x_n, mu_n = _lp_ball_project_nested(y, R, p, mu0)
+        return (jnp.where(ok[..., None], x_joint, x_n),
+                jnp.where(ok, mu, mu_n))
 
     def accept(_):
-        fac = jnp.minimum(1.0, Rn / jnp.maximum(
-            jnp.sum(s ** p, axis=-1) ** (1.0 / p), 1e-300))
-        x = jnp.sign(y) * s * (fac * scale)[..., None]
-        x = jnp.where(pos_R[..., None], x, jnp.zeros_like(x))
-        return jnp.where(inside[..., None], y, x), mu
+        return x_joint, mu
 
     return jax.lax.cond(jnp.all(ok), accept, fallback, None)
 

@@ -141,6 +141,41 @@ def test_joint_kkt_projection_matches_nested(p, rng):
                                    atol=1e-9 * scale)
 
 
+def test_joint_rejection_merges_per_lane(rng, monkeypatch):
+    """One rejected lane must not discard the joint pass's result for the
+    other lanes (VERDICT r2 item 4): force lane 0's KKT residual to fail the
+    acceptance test and check that lanes 1.. keep the (accepted-branch) joint
+    answer exactly while lane 0 takes the nested root-find's answer."""
+    p = 2.5
+    Y = jnp.asarray(rng.randn(6, 24) * 2)
+    R = jnp.asarray(np.full(6, 1.1))
+
+    x_acc, mu_acc = lp._lp_ball_project_general(Y, R, p)   # all lanes accept
+    x_nest, mu_nest = lp._lp_ball_project_nested(Y, R, p)
+
+    real_joint = lp._joint_kkt_newton
+
+    def fake_joint(an, Rn, T, pp, mu_init, iters):
+        s, mu, Fres, Gres = real_joint(an, Rn, T, pp, mu_init, iters)
+        return s, mu, Fres.at[0].set(1.0), Gres           # reject lane 0 only
+
+    monkeypatch.setattr(lp, "_joint_kkt_newton", fake_joint)
+    # __wrapped__ bypasses the jit cache so the patched global is traced.
+    x_mix, mu_mix = lp._lp_ball_project_general.__wrapped__(Y, R, p)
+
+    # atol 1e-12: far below the ~1e-8 joint-vs-nested discrepancy, so the
+    # check discriminates which branch each lane took; not exactly 0 because
+    # jit fusion reorders float ops at the eps level vs the unjitted trace.
+    np.testing.assert_allclose(np.asarray(x_mix)[1:], np.asarray(x_acc)[1:],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu_mix)[1:], np.asarray(mu_acc)[1:],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x_mix)[0], np.asarray(x_nest)[0],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(float(mu_mix[0]), float(mu_nest[0]),
+                               rtol=0, atol=1e-12)
+
+
 def test_joint_kkt_projection_certificate(rng):
     """Accepted joint solutions satisfy the KKT system to near machine
     precision (the acceptance test is the exactness certificate)."""

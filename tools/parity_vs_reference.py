@@ -7,16 +7,25 @@ the reference contract: elementwise atol 1e-3 OR our objective <= theirs
 (both solvers stop at their own tolerances; lower objective = at least as
 converged).
 
-Run: python tools/parity_vs_reference.py
+Run: python tools/parity_vs_reference.py [--out PARITY_run.json]
+
+Writes a machine-readable artifact (default ``PARITY_run.json`` at the repo
+root) with every check's name, max elementwise deviation and objective pair,
+so each round's parity claim is auditable after the fact (VERDICT r2 item 7).
+``bench.py`` regenerates it on every bench run (CPU subprocess — the random
+per-trial shapes would trigger a remote AOT compile storm on the axon TPU).
 """
+import argparse
 import ctypes
+import json
 import os
 import subprocess
 import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 LIB = "/tmp/proxtv_ref_bench/libproxtv_ref.so"
 
@@ -34,7 +43,7 @@ def build():
     return True
 
 
-def main():
+def main(out_path=None):
     if not build():
         print("reference sources unavailable; nothing to compare")
         return 0
@@ -59,12 +68,16 @@ def main():
 
     rng = np.random.RandomState(123)
     fails = 0
+    records = []
 
-    def report(name, ok, detail=""):
+    def report(name, ok, detail="", **extra):
         nonlocal fails
         print(("PASS " if ok else "FAIL ") + name + (" " + detail if detail else ""),
               flush=True)
         fails += 0 if ok else 1
+        records.append({"name": name, "ok": bool(ok), "detail": detail,
+                        **{k: (float(v) if isinstance(v, (int, float)) else v)
+                           for k, v in extra.items()}})
 
     def obj1(x, y, lam):
         return 0.5 * np.sum((x - y) ** 2) + lam * np.abs(np.diff(x)).sum()
@@ -81,7 +94,10 @@ def main():
             xo = np.asarray(ptv.tv1_1d(y, lam, method=m))
             ok = (np.abs(xo - xr).max() < 1e-3
                   or obj1(xo, y, lam) <= obj1(xr, y, lam) + 1e-6)
-            report(f"tv1_1d[{m}] n={n}", ok, f"maxdiff={np.abs(xo-xr).max():.2e}")
+            report(f"tv1_1d[{m}] n={n}", ok,
+                   f"maxdiff={np.abs(xo-xr).max():.2e}",
+                   maxdiff=np.abs(xo - xr).max(), obj_ours=obj1(xo, y, lam),
+                   obj_ref=obj1(xr, y, lam))
 
     # --- weighted 1D ---
     for trial in range(2):
@@ -94,7 +110,8 @@ def main():
                                     xr.ctypes.data_as(pd), n)
         xo = np.asarray(ptv.tv1w_1d(y, w))
         report(f"tv1w_1d n={n}", np.abs(xo - xr).max() < 1e-3,
-               f"maxdiff={np.abs(xo-xr).max():.2e}")
+               f"maxdiff={np.abs(xo-xr).max():.2e}",
+               maxdiff=np.abs(xo - xr).max())
 
     # --- TV-L2 ---
     for trial in range(2):
@@ -107,7 +124,8 @@ def main():
                        info.ctypes.data_as(pd), n, None, None)
         xo = np.asarray(ptv.tv2_1d(y, lam))
         report(f"tv2_1d n={n}", np.abs(xo - xr).max() < 2e-3,
-               f"maxdiff={np.abs(xo-xr).max():.2e}")
+               f"maxdiff={np.abs(xo-xr).max():.2e}",
+               maxdiff=np.abs(xo - xr).max())
 
     # --- TV-Lp ---
     for p in [1.5, 3.0]:
@@ -124,7 +142,9 @@ def main():
             return 0.5 * np.sum((x - y) ** 2) + lam * np.linalg.norm(np.diff(x), p)
 
         ok = np.abs(xo - xr).max() < 2e-3 or objp(xo) <= objp(xr) + 1e-6
-        report(f"tvp_1d p={p}", ok, f"maxdiff={np.abs(xo-xr).max():.2e}")
+        report(f"tvp_1d p={p}", ok, f"maxdiff={np.abs(xo-xr).max():.2e}",
+               maxdiff=np.abs(xo - xr).max(), obj_ours=objp(xo),
+               obj_ref=objp(xr))
 
     # --- 2D (reference runs in Fortran order; transpose for comparison) ---
     for trial in range(2):
@@ -147,12 +167,29 @@ def main():
         ok = np.abs(Xo - Xr).max() < 1e-3 or obj2(Xo) <= obj2(Xr) + 1e-6
         report(f"tv1_2d {M}x{N}", ok,
                f"maxdiff={np.abs(Xo-Xr).max():.2e} "
-               f"obj(ours)={obj2(Xo):.4f} obj(ref)={obj2(Xr):.4f}")
+               f"obj(ours)={obj2(Xo):.4f} obj(ref)={obj2(Xr):.4f}",
+               maxdiff=np.abs(Xo - Xr).max(), obj_ours=obj2(Xo),
+               obj_ref=obj2(Xr))
 
     print(("ALL PARITY CHECKS PASSED" if fails == 0
            else f"{fails} PARITY CHECKS FAILED"), flush=True)
+    if out_path:
+        families = {}
+        for r in records:
+            fam = r["name"].split("[")[0].split(" ")[0]
+            d = r.get("maxdiff")
+            if d is not None:
+                families[fam] = max(families.get(fam, 0.0), d)
+        with open(out_path, "w") as f:
+            json.dump({"passed": fails == 0, "n_checks": len(records),
+                       "n_failed": fails,
+                       "max_deviation_by_family": families,
+                       "checks": records}, f, indent=1)
+        print(f"wrote {out_path}", flush=True)
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_run.json"))
+    sys.exit(main(ap.parse_args().out))
