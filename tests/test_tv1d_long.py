@@ -73,16 +73,39 @@ def test_long_short_input_passthrough(rng):
 
 def test_long_plateau_seams(rng):
     """Plateau-structured signal whose flats span window seams: the
-    escalation path (Schwarz sweep + polish + plateau snap) must still hit
-    the scan engine's objective, with an honest certificate."""
+    escalation ladder (stall-resume + seam-jitter stitch + PGD + snap, then
+    polish if needed) must hit the scan engine's objective at the 1e-5
+    relative contract WITH rc = 0 (VERDICT r2 item 2 — the round-2 build
+    exited rc = 2 above the contract here)."""
     n = 20000
     y = (np.repeat(rng.randn(n // 200), 200)
          + 0.1 * rng.randn(n))
     lam = 5.0
     x, info = tv1d_long.tv1_long(jnp.asarray(y), lam, chunk=512, overlap=64)
+    assert np.all(np.asarray(info.rc) == 0), np.asarray(info.gap)
     ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
                                             jnp.asarray(lam)))[0]
     def obj(z):
         return 0.5 * ((z - y) ** 2).sum() + lam * np.abs(np.diff(z)).sum()
     rel = (obj(np.asarray(x)) - obj(ref)) / obj(ref)
     assert rel <= 1e-8, rel
+
+
+def test_long_plateau_every_seam_in_flat(rng):
+    """Adversarial geometry from PARITY.md: every window seam lands inside a
+    flat (flat length < chunk/2, seams at multiples of chunk).  The
+    seam-jitter rung must certify rc = 0 at <= 1e-5 relative objective."""
+    chunk, overlap = 512, 64
+    n = 16 * chunk
+    flat = 200  # < chunk/2, so every flat is interior to one of the 2 grids
+    y = np.repeat(rng.randn(-(-n // flat)), flat)[:n] + 0.1 * rng.randn(n)
+    lam = 5.0
+    x, info = tv1d_long.tv1_long(jnp.asarray(y), lam, chunk=chunk,
+                                 overlap=overlap)
+    assert np.all(np.asarray(info.rc) == 0), np.asarray(info.gap)
+    ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
+                                            jnp.asarray(lam)))[0]
+    def obj(z):
+        return 0.5 * ((z - y) ** 2).sum() + lam * np.abs(np.diff(z)).sum()
+    rel = (obj(np.asarray(x)) - obj(ref)) / obj(ref)
+    assert rel <= 1e-5, rel
