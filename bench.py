@@ -36,6 +36,7 @@ LAM1 = 0.7
 BLP, NLP = 64, 1000      # TV-Lp reference sample (GPFW is slow per signal)
 NLONG = 1_000_000        # single huge signal
 SLONG = 8                # streaming batch of huge signals (sustained rate)
+LAMLONG = 50.0           # penalty for the long TV-L2 / TV-Lp rows
 L3, M3, N3 = 32, 256, 256
 
 # Cached baselines missing any of these keys are re-measured.
@@ -45,7 +46,8 @@ BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_2d4k_mpx_s", "ref_2d4k_obj",
              "ref_lp15_signals_s", "ref_lp3_signals_s", "ref_lp5_signals_s",
              "ref_2dw_mpx_s",
              "ref_2dw_obj", "ref_3d_mpx_s", "ref_3d_obj", "ref_long1d_ms",
-             "ref_long1d_stream_ms", "ref_threads"]
+             "ref_long1d_stream_ms", "ref_long_l2_ms", "ref_long_l2_obj",
+             "ref_long_lp_ms", "ref_long_lp_obj", "ref_threads"]
 
 
 def log(*a):
@@ -268,6 +270,22 @@ def measure_reference():
         _thread_map(run_long, SLONG, nthreads)
         best = min(best, time.time() - t0)
     out["ref_long1d_stream_ms"] = best / SLONG * 1e3
+
+    # ---- long single-signal TV-L2 / TV-Lp (n = 1e6; reference solves these
+    # with the same unbounded-length solvers, src/TVL2opt.cpp:190,
+    # src/TVLPopt.cpp:1111) ----
+    xl = np.zeros_like(ylong)
+    t0 = time.time()
+    lib.morePG_TV2(P(ylong), LAMLONG, P(xl), P(info), NLONG, None)
+    out["ref_long_l2_ms"] = (time.time() - t0) * 1e3
+    out["ref_long_l2_obj"] = float(0.5 * ((xl - ylong) ** 2).sum()
+                                   + LAMLONG * np.linalg.norm(np.diff(xl)))
+    xl = np.zeros_like(ylong)
+    t0 = time.time()
+    lib.GPFW_TVp(P(ylong), LAMLONG, P(xl), P(info), NLONG, 1.5, None)
+    out["ref_long_lp_ms"] = (time.time() - t0) * 1e3
+    out["ref_long_lp_obj"] = float(0.5 * ((xl - ylong) ** 2).sum()
+                                   + LAMLONG * np.linalg.norm(np.diff(xl), 1.5))
     return out
 
 
@@ -452,6 +470,21 @@ def measure_tpu(base):
     flong = jax.jit(lambda y: tv1d_long.tv1_long(y, LAM1)[0])
     t_long = timed(flong, ylong)
 
+    # Long single-signal TV-L2 / TV-Lp at the same n (certificate-stopped;
+    # equal-objective checks against the reference run in main()).
+    ylong2 = ylong[None]
+    f_l2l = jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, LAMLONG)[0])
+    t_long_l2 = timed(f_l2l, ylong2)
+    x_l2l = np.asarray(f_l2l(ylong2)[0], np.float64)
+    yl64 = np.asarray(ylong, np.float64)
+    obj_long_l2 = float(0.5 * ((x_l2l - yl64) ** 2).sum()
+                        + LAMLONG * np.linalg.norm(np.diff(x_l2l)))
+    f_lpl = jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, LAMLONG, 1.5)[0])
+    t_long_lp = timed(f_lpl, ylong2)
+    x_lpl = np.asarray(f_lpl(ylong2)[0], np.float64)
+    obj_long_lp = float(0.5 * ((x_lpl - yl64) ** 2).sum()
+                        + LAMLONG * np.linalg.norm(np.diff(x_lpl), 1.5))
+
     # Sustained rate on a stream of long signals: all SLONG signals' windows
     # run as ONE fused kernel batch (the TPU analog of one scan per core).
     Ylong = jnp.asarray((np.cumsum(rng.randn(SLONG, NLONG), axis=1) * 0.05
@@ -475,6 +508,10 @@ def measure_tpu(base):
         "tpu_3d_obj": obj_3d,
         "tpu_long1d_ms": t_long * 1e3,
         "tpu_long1d_stream_ms": t_long_stream * 1e3,
+        "tpu_long_l2_ms": t_long_l2 * 1e3,
+        "tpu_long_l2_obj": obj_long_l2,
+        "tpu_long_lp_ms": t_long_lp * 1e3,
+        "tpu_long_lp_obj": obj_long_lp,
     }
 
 
@@ -569,6 +606,20 @@ def main():
             "vs_baseline_long1d_stream": _ratio(
                 base.get("ref_long1d_stream_ms"),
                 ours["tpu_long1d_stream_ms"]),
+            "tpu_long_l2_ms": round(ours["tpu_long_l2_ms"], 2),
+            "vs_baseline_long_l2": _ratio(base.get("ref_long_l2_ms"),
+                                          ours["tpu_long_l2_ms"]),
+            "objective_long_l2_ok": (None if not base.get("ref_long_l2_obj")
+                                     else bool(ours["tpu_long_l2_obj"] <=
+                                               base["ref_long_l2_obj"]
+                                               * (1 + 1e-4))),
+            "tpu_long_lp_ms": round(ours["tpu_long_lp_ms"], 2),
+            "vs_baseline_long_lp": _ratio(base.get("ref_long_lp_ms"),
+                                          ours["tpu_long_lp_ms"]),
+            "objective_long_lp_ok": (None if not base.get("ref_long_lp_obj")
+                                     else bool(ours["tpu_long_lp_obj"] <=
+                                               base["ref_long_lp_obj"]
+                                               * (1 + 1e-4))),
             "objective_ok": bool(obj_ok),
             "parity_ok": parity_ok,
         },

@@ -56,8 +56,14 @@ def _lam_vec(lam, B, dtype):
 
 
 def _gap_tvp(w, g, lam, p):
-    """Duality gap: lam * ||g||_p + w'g  (Holder; == 0 at optimum)."""
-    return jnp.abs(lam * lp_norm(g, p) + jnp.sum(w * g, axis=-1))
+    """Duality gap lam * ||g||_p + w'g (Holder; == 0 at optimum), plus the
+    magnitude of the two cancelling terms.  The gap's f32 measurement floor
+    scales with that magnitude (~2x the TV term), NOT with 0.5||y||^2 — for
+    large-scale data (e.g. a random walk at n = 1e6) the ||y||^2 floor
+    overshoots by orders of magnitude and stops the solver ~500x early."""
+    tv = lam * lp_norm(g, p)
+    cross = jnp.sum(w * g, axis=-1)
+    return jnp.abs(tv + cross), tv + jnp.abs(cross)
 
 
 def _hess_mv(w):
@@ -86,7 +92,7 @@ def _finalize(y, ybar, w, lamv, p, interior, zero_pen, w0, iters, running):
     x = diffs.dual2primal(jnp.where(interior[:, None], w0, w), y)
     x = jnp.where(zero_pen[:, None], y, x)
     g = diffs.primal2grad(x)
-    gap = jnp.where(interior | zero_pen, 0.0, _gap_tvp(w, g, lamv, p))
+    gap = jnp.where(interior | zero_pen, 0.0, _gap_tvp(w, g, lamv, p)[0])
     rc = jnp.where(running & ~interior & ~zero_pen, RC_ITERS, RC_OK).astype(jnp.int32)
     return x + ybar, make_info(iters, gap, rc)
 
@@ -109,9 +115,13 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
         return y + ybar, info1
     cap = int(max_iters) if max_iters else cfg.max_iters
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
-    # Reference-parity tolerance with a dtype-achievability floor (see tv1d_l2).
-    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps
-                      * jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1)))
+    # Reference-parity tolerance with a dtype-achievability floor scaled by
+    # the gap statistic's own cancellation magnitude (see _gap_tvp).
+    feps10 = 10.0 * jnp.finfo(dtype).eps
+
+    def tol_of(den):
+        return jnp.maximum(jnp.asarray(cfg.stop, dtype),
+                           feps10 * jnp.maximum(1.0, den))
 
     if momentum == "ogp":
         # mu-strongly-convex momentum (reference OGP_TVp :436).
@@ -137,7 +147,7 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
             z_new = w_new + ((t - 1.0) / t_new)[:, None] * (w_new - w)
         x = diffs.dual2primal(w_new, y)
         g = diffs.primal2grad(x)
-        gap_new = _gap_tvp(w_new, g, lamv, p)
+        gap_new, den = _gap_tvp(w_new, g, lamv, p)
 
         w = jnp.where(running[:, None], w_new, w)
         z = jnp.where(running[:, None], z_new, z)
@@ -145,7 +155,7 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
         mu = jnp.where(running, mu_new, mu)
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
-        running = running & (gap > tol)
+        running = running & (gap > tol_of(den))
         return w, z, t, mu, gap, iters, running
 
     def cond(state):
@@ -160,8 +170,8 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
     if mu0 is None:
         mu0 = jnp.ones((B,), dtype)
     x0 = diffs.dual2primal(w_start, y)
-    gap0 = _gap_tvp(w_start, diffs.primal2grad(x0), lamv, p)
-    running0 = (gap0 > tol) & ~interior & ~zero_pen
+    gap0, den0 = _gap_tvp(w_start, diffs.primal2grad(x0), lamv, p)
+    running0 = (gap0 > tol_of(den0)) & ~interior & ~zero_pen
     t0 = jnp.ones((B,), dtype)
     w, _, _, mu, gap, iters, running = jax.lax.while_loop(
         cond, body, (w_start, w_start, t0, mu0, gap0,
@@ -227,8 +237,11 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int,
         return y + ybar, info1
     cap = int(max_iters) if max_iters else cfg.max_iters_fw
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
-    tol = jnp.maximum(cfg.stop, 10.0 * jnp.finfo(dtype).eps
-                      * jnp.maximum(1.0, 0.5 * jnp.sum(y * y, axis=-1)))
+    feps10 = 10.0 * jnp.finfo(dtype).eps
+
+    def tol_of(den):
+        return jnp.maximum(jnp.asarray(cfg.stop, dtype),
+                           feps10 * jnp.maximum(1.0, den))
 
     def body(state):
         w, mu, gap, iters, k, running = state
@@ -252,14 +265,15 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int,
             w_new, mu_new = w_fw, mu
         x = diffs.dual2primal(w_new, y)
         g = diffs.primal2grad(x)
-        gap_new = _gap_tvp(w_new, g, lamv, p)
+        gap_new, den = _gap_tvp(w_new, g, lamv, p)
 
         w = jnp.where(running[:, None], w_new, w)
         mu = jnp.where(running, mu_new, mu)
         gap = jnp.where(running, gap_new, gap)
         iters = iters + running.astype(jnp.int32)
         # FW duality gap (-grad'd) is also a certificate; stop on either.
-        running = running & (gap > tol) & (fw_gap > tol)
+        tol_i = tol_of(den)
+        running = running & (gap > tol_i) & (fw_gap > tol_i)
         return w, mu, gap, iters, k + 1, running
 
     def cond(state):
@@ -274,8 +288,8 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int,
     if mu0 is None:
         mu0 = jnp.ones((B,), dtype)
     x0 = diffs.dual2primal(w_start, y)
-    gap0 = _gap_tvp(w_start, diffs.primal2grad(x0), lamv, p)
-    running0 = (gap0 > tol) & ~interior & ~zero_pen
+    gap0, den0 = _gap_tvp(w_start, diffs.primal2grad(x0), lamv, p)
+    running0 = (gap0 > tol_of(den0)) & ~interior & ~zero_pen
     w, mu, gap, iters, _, running = jax.lax.while_loop(
         cond, body,
         (w_start, mu0, gap0, jnp.zeros((B,), jnp.int32), jnp.int32(1),

@@ -65,3 +65,20 @@ def test_per_batch_lambda(rng):
     for k in range(B):
         ref = oracles.tv2_oracle(Y[k], lams[k])
         np.testing.assert_allclose(np.asarray(X)[k], ref, atol=2e-3)
+
+
+def test_l2_long_signal_kkt(rng):
+    """n = 60000 (far beyond any window/VMEM regime): the MS engine must
+    still solve exactly — verified by the sharp KKT certificate.  At the
+    optimum x = y + D'w with w = -lam * Dx / ||Dx||_2 (boundary case), and
+    w is recoverable from x alone as the running sum of (x - y).
+    Reference solves the same unbounded-n problem (src/TVL2opt.cpp:190)."""
+    n = 60000
+    y = np.cumsum(rng.randn(n)) * 0.05 + rng.randn(n)
+    lam = 20.0
+    x, info = tv1d_l2.tv2_ms(jnp.asarray(y)[None], lam)
+    assert np.all(np.asarray(info.rc) == 0)
+    x = np.asarray(x)[0]
+    g = x[:-1] - x[1:]                      # primal2grad
+    w = np.cumsum(x - y)[:-1]               # dual implied by the primal
+    np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)

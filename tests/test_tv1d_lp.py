@@ -113,3 +113,26 @@ def test_linf_limit(rng):
             return 0.5 * np.sum((z - yk) ** 2) + 0.8 * np.abs(np.diff(z)).max()
 
         assert obj(x[k]) <= obj(ref) + 1e-4, k
+
+
+def test_lp_long_signal_kkt(rng):
+    """n = 60000: the GPFW engine must deliver a certified solve at large n
+    (reference src/TVLPopt.cpp:1111 is unbounded in n too).  Check the
+    duality-gap certificate against the objective scale and the KKT
+    stationarity w = -lam * sign(g)|g|^{p-1} / ||g||_p^{p-1} with the dual
+    recovered from the primal as the running sum of (x - y)."""
+    n, p = 60000, 1.5
+    y = np.cumsum(rng.randn(n)) * 0.05 + rng.randn(n)
+    lam = 20.0
+    x, info = tv1d_lp.tvp_gpfw(jnp.asarray(y)[None], lam, p)
+    assert np.all(np.asarray(info.rc) == 0)
+    x = np.asarray(x)[0]
+    obj = 0.5 * np.sum((x - y) ** 2) + lam * np.linalg.norm(np.diff(x), p)
+    assert float(info.gap[0]) <= 1e-5 * obj
+    g = x[:-1] - x[1:]
+    w = np.cumsum(x - y)[:-1]
+    nrm = np.linalg.norm(g, p)
+    w_kkt = -lam * np.sign(g) * np.abs(g) ** (p - 1.0) / nrm ** (p - 1.0)
+    # gap <= 1e-5 * obj allows O(sqrt(gap)) primal error; the dual residual
+    # scales likewise — assert at the matching tolerance.
+    assert np.abs(w - w_kkt).max() <= 1e-3 * lam
