@@ -600,6 +600,184 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     return out, make_info(iters_img, gap_b, rc)
 
 
+def _run_pdhg_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
+                           M: int, N: int, n_dev: int, gap_tol=None,
+                           k_steps: int = None, tm: int = None):
+    """Cross-chip fused PDHG: ONE image row-banded over a device mesh
+    (SURVEY §5.8's open item — the fused kernel itself spans chips).
+
+    Runs INSIDE ``shard_map`` over a 1D mesh axis ``axis_name``: each device
+    holds ``Yl`` = its (local_rows, Np) slab of the row-padded global image
+    and a private canvas with 2*k_steps halo rows on each side.  Every
+    K-step kernel chunk is preceded by a ``jax.lax.ppermute`` halo exchange
+    of the four state fields (x, xbar, u1, u2) with the row neighbors —
+    information travels <= 2 rows per PDHG iteration, so a fresh 2K-row halo
+    makes each device's core rows EXACT for K steps (the same trapezoidal
+    blocking argument as the single-device kernel, now with ICI neighbors
+    instead of HBM bands).  The per-image duality-gap certificate is a
+    ``jax.lax.psum`` of per-device partial sums, evaluated every ~24
+    iterations exactly like the single-device driver.
+
+    Geometry contract (arranged by the public wrapper): the global padded
+    canvas has n_dev * local_rows rows; image rows [0, M) are valid, the
+    padding lives entirely after row M (validity masks pin its duals to 0).
+    ``local_rows`` must be a multiple of ``tm``.
+
+    Reference: the dual-update stencil of CondatChambollePock2_TV
+    (src/TV2Dopt.cpp:656-745), executed as one mesh-spanning fused solve.
+    """
+    from ..ops.kernels import pdhg_fused as PK
+
+    local_rows, Np = Yl.shape
+    if k_steps is None or tm is None:
+        k_auto, tm_auto = _pdhg_fused_params(N)
+        k_steps = k_steps or k_auto
+        tm = tm or tm_auto
+    halo = 2 * k_steps
+    assert local_rows % tm == 0, (local_rows, tm)
+    dtype = Yl.dtype
+    d = jax.lax.axis_index(axis_name)
+    # Global row of local canvas row 0 is d*local_rows - halo; the kernel's
+    # validity masks receive it as pad_top = halo - d*local_rows.
+    roff = (halo - d * local_rows).astype(jnp.int32)
+
+    if variant == "cp-acc":
+        # Scale-invariant schedule from *global* statistics (psum'd so every
+        # device runs the identical schedule).
+        dY = Yl[:, 1:N] - Yl[:, : N - 1]
+        gr = jnp.arange(local_rows) + d * local_rows
+        vrow = (gr < M).astype(dtype)[:, None]
+        ssum = jax.lax.psum(jnp.sum(dY * dY * vrow), axis_name)
+        cnt = jax.lax.psum(jnp.sum(jnp.broadcast_to(vrow, dY.shape)),
+                           axis_name)
+        noise = jnp.sqrt(jnp.maximum(ssum / jnp.maximum(cnt, 1.0) * 0.5,
+                                     1e-12))
+        lam_rel = jnp.asarray(lam, dtype) / noise
+        sigma0 = 0.5 * jnp.maximum(1.0, lam_rel)
+        cap_mult = jnp.maximum(1.0, (lam_rel / 0.3) ** 1.5) / sigma0
+    else:
+        sigma0 = jnp.asarray(cfg.cp_sigma, dtype)
+        cap_mult = 2.0
+    tau0 = 0.9 / (8.0 * sigma0)
+
+    cpc = max(1, 24 // k_steps)
+    cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
+    sched = PK.make_schedule(cap_pad, jnp.asarray(lam, dtype), sigma0, tau0,
+                             variant, cap_mult=cap_mult)
+
+    up = [(i, i - 1) for i in range(1, n_dev)]      # send to device above
+    down = [(i, i + 1) for i in range(n_dev - 1)]   # send to device below
+
+    def exchange(A):
+        """Refresh A's halo rows from the neighbors' core rows.  Edge
+        devices receive zeros (ppermute semantics) — their halo rows are
+        globally out of range, which the kernel's masks pin to zero."""
+        top_core = jax.lax.dynamic_slice_in_dim(A, halo, halo, 0)
+        bot_core = jax.lax.dynamic_slice_in_dim(A, local_rows, halo, 0)
+        from_below = jax.lax.ppermute(top_core, axis_name, up)
+        from_above = jax.lax.ppermute(bot_core, axis_name, down)
+        A = jax.lax.dynamic_update_slice_in_dim(A, from_above, 0, 0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            A, from_below, halo + local_rows, 0)
+
+    # The kernel's in-chunk primal updates at halo rows read Y there, so the
+    # DATA canvas needs real neighbor rows in its halo too — zero-filled
+    # halos silently shift the boundary rows' fixed point (the dual update
+    # one row inside the core reads a step-1 xbar computed against y = 0).
+    Ypad = exchange(jnp.pad(Yl, ((halo, halo), (0, 0))))
+
+    # Validity masks for the certificate, in global coordinates.
+    r = jnp.arange(2 * halo + local_rows)[:, None] - halo + d * local_rows
+    col = jnp.arange(Np)[None, :]
+    in_img = (r >= 0) & (r < M)
+    vr = ((col < N - 1) & in_img).astype(dtype)
+    vc = ((col < N) & in_img & (r < M - 1)).astype(dtype)
+    lamr = jnp.asarray(lam, dtype) * vr
+    lamc = jnp.asarray(lam, dtype) * vc
+    core = ((jnp.arange(2 * halo + local_rows) >= halo)
+            & (jnp.arange(2 * halo + local_rows) < halo + local_rows)
+            ).astype(dtype)[:, None]
+
+    def dr_(X):
+        return X - jnp.concatenate([X[:, 1:], jnp.zeros_like(X[:, :1])],
+                                   axis=1)
+
+    def drT_(U):
+        return U - jnp.concatenate([jnp.zeros_like(U[:, :1]), U[:, :-1]],
+                                   axis=1)
+
+    def dc_(X):
+        return X - jnp.concatenate([X[1:, :], jnp.zeros_like(X[:1, :])],
+                                   axis=0)
+
+    def dcT_(U):
+        return U - jnp.concatenate([jnp.zeros_like(U[:1, :]), U[:-1, :]],
+                                   axis=0)
+
+    def gap_and_primal(u1, u2):
+        """Certificate with fresh halos: per-device partial sums over OWN
+        core rows, psum'd to the global per-image gap/objective."""
+        u1 = jnp.where(vr > 0, u1, 0.0)
+        u2 = jnp.where(vc > 0, u2, 0.0)
+        xhat = Ypad - (drT_(u1) + dcT_(u2))
+        gr_ = dr_(xhat) * vr
+        gc_ = dc_(xhat) * vc
+        e = lamr * jnp.abs(gr_) - u1 * gr_ + lamc * jnp.abs(gc_) - u2 * gc_
+        gap = jax.lax.psum(jnp.sum(e * core), axis_name)
+        obj = jax.lax.psum(
+            jnp.sum((0.5 * (xhat - Ypad) ** 2 * in_img
+                     + lamr * jnp.abs(gr_) + lamc * jnp.abs(gc_)) * core),
+            axis_name)
+        return gap, obj, xhat
+
+    feps = jnp.finfo(dtype).eps
+    if gap_tol is None:
+        gtol = jnp.maximum(jnp.asarray(cfg.pdhg_gap_tol, dtype), 64.0 * feps)
+    else:
+        gtol = jnp.asarray(gap_tol, dtype)
+
+    def chunk_call(sd, x, xb, u1, u2):
+        return PK.pdhg_chunk(sd, x, xb, u1, u2, Ypad, k_steps=k_steps, tm=tm,
+                             n_valid=N, m_valid=M, stride=M, count=1,
+                             pad_top=roff, grad_step=(variant == "condat"))
+
+    def body(state):
+        x, xb, u1, u2, t, gap_b, iters, running = state
+
+        def one(_, st):
+            x, xb, u1, u2, t = st
+            x, xb = exchange(x), exchange(xb)
+            u1, u2 = exchange(u1), exchange(u2)
+            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
+            x, xb, u1, u2 = chunk_call(sd, x, xb, u1, u2)
+            return x, xb, u1, u2, t + k_steps
+
+        x, xb, u1, u2, t = jax.lax.fori_loop(0, cpc, one, (x, xb, u1, u2, t))
+        iters = iters + cpc * k_steps * running.astype(jnp.int32)
+        u1e, u2e = exchange(u1), exchange(u2)
+        gap_new, obj, _ = gap_and_primal(u1e, u2e)
+        gap_b = jnp.where(running, gap_new, gap_b)
+        running = running & (gap_b > gtol * jnp.maximum(1.0, obj))
+        return x, xb, u1, u2, t, gap_b, iters, running
+
+    def cond(state):
+        *_, t, gap_b, iters, running = state
+        return (t < cap_pad) & running
+
+    zeros = jnp.zeros_like(Ypad)
+    init = (Ypad, Ypad, zeros, zeros, jnp.int32(0),
+            jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.asarray(True))
+    x, xb, u1, u2, t, gap_b, iters, running = jax.lax.while_loop(
+        cond, body, init)
+
+    u1e, u2e = exchange(u1), exchange(u2)
+    gap_b, obj, xhat = gap_and_primal(u1e, u2e)
+    rc = jnp.where(gap_b > gtol * jnp.maximum(1.0, obj), RC_ITERS,
+                   RC_OK).astype(jnp.int32)
+    out = xhat[halo: halo + local_rows]
+    return out, make_info(iters[None], gap_b[None], rc[None])
+
+
 # -- Column-exact primal-dual (reference Kolmogorov2_TV) --------------------
 
 

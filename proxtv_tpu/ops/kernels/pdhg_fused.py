@@ -68,22 +68,29 @@ def _dcol_t(U):
 
 
 def _make_kernel(k_steps, tm, win, n, n_valid, m_valid, stride, count,
-                 pad_top, grad_step, weighted=False):
+                 grad_step, weighted=False):
     """A batch of ``count`` images of ``m_valid`` rows is stacked vertically
     with period ``stride`` (gap rows carry lam = 0 and are exactly decoupled,
     so one tall solve == independent per-image solves).
+
+    The canvas's global row offset (``pad_top`` for a single-device canvas;
+    ``pad_top - device_row_offset`` for a row-banded multi-chip canvas, where
+    every device runs this same program on its own slab) arrives as a (1,)
+    SMEM scalar so the one compiled kernel serves every band (SPMD).
 
     ``weighted``: two extra (Mp, N) inputs carry per-edge weight fields
     (zero at invalid edges — they subsume the validity masks)."""
     def kernel(*refs):
         if weighted:
-            (sched_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm, wr_hbm, wc_hbm,
+            (sched_ref, roff_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm,
+             wr_hbm, wc_hbm,
              xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm) = refs
         else:
-            (sched_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm,
+            (sched_ref, roff_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, y_hbm,
              xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm) = refs
         i = pl.program_id(0)
         row0 = i * tm
+        pad_top = roff_ref[0]
 
         def body(*scratch):
             bufs = list(scratch[:-1])
@@ -208,33 +215,41 @@ def make_schedule(max_iters, lam, sigma0, tau0, variant, cap_mult=2.0):
 
 @functools.partial(jax.jit,
                    static_argnames=("k_steps", "tm", "n_valid", "m_valid",
-                                    "stride", "count", "pad_top", "grad_step"))
+                                    "stride", "count", "grad_step"))
 def pdhg_chunk(sched, x, xb, u1, u2, y, k_steps: int, tm: int,
                n_valid: int, m_valid: int, stride: int, count: int,
-               pad_top: int, grad_step: bool = False, wr=None, wc=None):
+               pad_top=0, grad_step: bool = False, wr=None, wc=None):
     """Run one K-iteration chunk over all row bands.  All state arrays are
     (Mp, N) row-padded; ``sched`` is the (k_steps, 4) schedule slice.
-    ``wr``/``wc``: optional (Mp, N) per-edge weight fields (weighted TV)."""
+    ``pad_top`` may be a traced int32 scalar: the global row index of canvas
+    row 0 is ``-pad_top`` (negative pad_top = a mid-image band of a row-
+    sharded canvas).  ``wr``/``wc``: optional (Mp, N) per-edge weight fields
+    (weighted TV)."""
     Mp, N = x.shape
     win = tm + 2 * _halo(k_steps)
     grid = ((Mp - 2 * _halo(k_steps)) // tm,)
     weighted = wr is not None
     kernel = _make_kernel(k_steps, tm, win, N, n_valid, m_valid, stride,
-                          count, pad_top, grad_step, weighted=weighted)
+                          count, grad_step, weighted=weighted)
     out_shape = tuple(jax.ShapeDtypeStruct((Mp, N), jnp.float32)
                       for _ in range(4))
+    roff = jnp.asarray(pad_top, jnp.int32).reshape(1)
     # NOTE: outputs must NOT alias inputs — bands run sequentially and band
     # i+1's halo must read band i's *pre-chunk* rows (classic ping-pong).
     # Padding rows of the outputs are never written; the kernel's validity
     # masks keep any garbage there from contaminating the image.
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    args = (sched, x, xb, u1, u2, y) + ((wr, wc) if weighted else ())
+    args = (sched, roff, x, xb, u1, u2, y) + ((wr, wc) if weighted else ())
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [any_spec] * (len(args) - 1),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                 + [any_spec] * (len(args) - 2),
         out_specs=(any_spec,) * 4,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # Off-TPU (the virtual-mesh dryrun / CPU tests) the Mosaic kernel
+        # cannot compile; interpret mode executes the same program with
+        # plain jax ops.
+        interpret=(jax.default_backend() != "tpu"),
     )(*args)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -137,6 +139,82 @@ def tv1w_2d_sharded_fused(Y, W_col, W_row, mesh: Mesh,
     return jax.jit(f)(_shard(jnp.asarray(Y), mesh, spec),
                       _shard(jnp.asarray(W_col, Y.dtype), mesh, spec),
                       _shard(jnp.asarray(W_row, Y.dtype), mesh, spec))
+
+
+def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
+                  max_iters: int = 0, k_steps: int = None, tm: int = None,
+                  gap_tol=None):
+    """ONE large image solved by the fused PDHG kernel SPANNING the mesh
+    (SURVEY §5.8: cross-chip fused execution).
+
+    The image is row-banded over the mesh's devices; each device runs the
+    temporally-blocked Pallas kernel on its band and exchanges 2*k_steps-row
+    halos of the four state fields with its row neighbors over ICI
+    (``jax.lax.ppermute``) before every K-iteration chunk, so the fused
+    kernel's exactness argument holds across chips.  The per-image
+    duality-gap certificate is ``psum``-reduced.  Compare
+    :func:`tv1_2d_sharded` (unfused GSPMD engines) and
+    :func:`tv1_2d_sharded_fused` (fused per-device, batch-parallel only).
+
+    Args:
+        Y: (M, N) single image (f32 for the TPU kernel).
+        lam: scalar penalty.
+        mesh: 1D device mesh; the image rows are banded over its axis.
+        k_steps/tm: kernel chunk length and band rows (default: auto-tuned
+            single-device parameters, with tm shrunk to fit the local band).
+    Returns:
+        (x, info): the denoised (M, N) image and its per-solve SolverInfo.
+    """
+    from ..models.tv2d import _pdhg_fused_params
+    from ..utils.config import DEFAULT_COMBINER
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    Y = jnp.asarray(Y)
+    M, N = Y.shape
+    Np = -(-N // 128) * 128
+    if k_steps is None or tm is None:
+        k_auto, tm_auto = _pdhg_fused_params(N)
+        k_steps = k_steps or k_auto
+        tm = tm or tm_auto
+    # Geometry: every device gets Lt*tm rows of the globally padded canvas
+    # (the padding sits entirely after image row M and is masked invalid);
+    # shrink tm if a device's fair share is below the single-device band.
+    share = -(-M // n_dev)               # ceil rows per device
+    if tm > share:
+        tm = max(8, -(-share // 8) * 8)  # one tile per device, 8-row aligned
+    local_rows = -(-share // tm) * tm
+    Mg = n_dev * local_rows
+    Ypad = jnp.pad(Y, ((0, Mg - M), (0, Np - N)))
+
+    variant = {"condat": "condat", "chambolle-pock": "cp",
+               "chambolle-pock-acc": "cp-acc"}[method.lower()]
+    cap = int(max_iters) or DEFAULT_COMBINER.max_iters_condat
+
+    f = _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap,
+                    gap_tol)
+    Ys = _shard(Ypad, mesh, P(axis, None))
+    x, info = f(Ys, jnp.asarray(lam, Y.dtype))
+    return x[:M, :N], info
+
+
+@functools.lru_cache(maxsize=64)
+def _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap, gap_tol):
+    """Compiled banded solver, cached per geometry — rebuilding the
+    shard_map + jit wrapper on every call would retrace (and on the remote-
+    compile TPU tunnel, recompile) each time."""
+    from functools import partial
+
+    from ..models.tv2d import _run_pdhg_fused_banded
+    from ..utils.config import DEFAULT_COMBINER
+
+    f = jax.shard_map(
+        partial(_run_pdhg_fused_banded, cap=cap, cfg=DEFAULT_COMBINER,
+                variant=variant, axis_name=axis, M=M, N=N, n_dev=n_dev,
+                gap_tol=gap_tol, k_steps=k_steps, tm=tm),
+        mesh=mesh, in_specs=(P(axis, None), P()),
+        out_specs=(P(axis, None), P()), check_vma=False)
+    return jax.jit(f)
 
 
 def tv_nd_sharded(Y, ws, ds, ps, mesh: Mesh, max_iters: int = 0,
