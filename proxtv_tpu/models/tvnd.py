@@ -295,6 +295,163 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
     return out, make_info(iters_img, gap_b, rc)
 
 
+def _run_pdhg3d_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
+                             L: int, M: int, N: int, n_dev: int,
+                             gap_tol=None, k_steps: int = 2, tl: int = 2,
+                             tm: int = 8):
+    """Cross-chip fused 3D PDHG: ONE volume layer-banded over a device mesh
+    (the 3D counterpart of tv2d._run_pdhg_fused_banded; see its docstring
+    for the halo-exchange exactness argument).  Runs INSIDE ``shard_map``:
+    ``Yl`` is the device's (local_layers, Mp, Np) slab of the padded volume
+    (M already placed at canvas offset hm, N zero-padded); halos of
+    2*k_steps layers are ppermuted along L before every K-step chunk, and
+    the per-volume duality-gap certificate is psum-reduced.
+
+    Reference: Yang3_TV's problem (src/TVNDopt.cpp:678-781), solved as one
+    mesh-spanning fused primal-dual program."""
+    from ..ops.kernels import pdhg3d_fused as PK3
+
+    local_layers, Mp, Np = Yl.shape
+    hl = PK3._halo_l(k_steps)
+    hm = PK3._halo_m(k_steps)
+    assert local_layers % tl == 0, (local_layers, tl)
+    dtype = Yl.dtype
+    d = jax.lax.axis_index(axis_name)
+    loff = (hl - d * local_layers).astype(jnp.int32)
+    lam = jnp.asarray(lam, dtype)
+
+    if variant == "cp-acc":
+        from .tv2d import _pdhg_sigma_schedule  # noqa: F401 (shape of calc)
+        gl = jnp.arange(local_layers) + d * local_layers
+        vlay = (gl < L).astype(dtype)[:, None, None]
+        dY = Yl[:, hm:hm + M, 1:N] - Yl[:, hm:hm + M, :N - 1]
+        ssum = jax.lax.psum(jnp.sum(dY * dY * vlay), axis_name)
+        cnt = jax.lax.psum(jnp.sum(jnp.broadcast_to(vlay, dY.shape)),
+                           axis_name)
+        noise = jnp.sqrt(jnp.maximum(ssum / jnp.maximum(cnt, 1.0) * 0.5,
+                                     1e-12))
+        lam_rel = lam / noise
+        sigma0 = 0.5 * jnp.maximum(1.0, lam_rel)
+        cap_mult = jnp.maximum(1.0, (lam_rel / 0.3) ** 1.5) / sigma0
+    else:
+        sigma0 = jnp.asarray(cfg.cp_sigma, dtype)
+        cap_mult = 2.0
+    tau0 = 0.9 / (12.0 * sigma0)
+
+    cpc = max(1, 24 // k_steps)
+    cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
+    sched = PK3.make_schedule3(cap_pad, (lam, lam, lam), sigma0, tau0,
+                               variant, cap_mult=cap_mult)
+
+    up = [(i, i - 1) for i in range(1, n_dev)]
+    down = [(i, i + 1) for i in range(n_dev - 1)]
+
+    def exchange(A):
+        top_core = jax.lax.dynamic_slice_in_dim(A, hl, hl, 0)
+        bot_core = jax.lax.dynamic_slice_in_dim(A, local_layers, hl, 0)
+        from_below = jax.lax.ppermute(top_core, axis_name, up)
+        from_above = jax.lax.ppermute(bot_core, axis_name, down)
+        A = jax.lax.dynamic_update_slice_in_dim(A, from_above, 0, 0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            A, from_below, hl + local_layers, 0)
+
+    # Data canvas with REAL neighbor layers in its L halo (see the 2D banded
+    # driver: a zero-filled y halo shifts the boundary fixed point).
+    Ypad = exchange(jnp.pad(Yl, ((hl, hl), (0, 0), (0, 0))))
+
+    # Validity masks in global coordinates (kernel conventions).
+    gl = (jnp.arange(2 * hl + local_layers)[:, None, None] - hl
+          + d * local_layers)
+    rm = jnp.arange(Mp)[None, :, None] - hm
+    col = jnp.arange(Np)[None, None, :]
+    in_vol = ((gl >= 0) & (gl < L) & (rm >= 0) & (rm < M) & (col < N))
+    v1 = (in_vol & (col < N - 1)).astype(dtype)
+    v2 = (in_vol & (rm < M - 1)).astype(dtype)
+    v3 = (in_vol & (gl < L - 1)).astype(dtype)
+    lam1, lam2, lam3 = lam * v1, lam * v2, lam * v3
+    core = ((jnp.arange(2 * hl + local_layers) >= hl)
+            & (jnp.arange(2 * hl + local_layers) < hl + local_layers)
+            ).astype(dtype)[:, None, None]
+
+    def dT(U, axis):
+        z = jnp.zeros_like(jnp.take(U, jnp.arange(1), axis=axis))
+        first = jnp.concatenate([z, jnp.moveaxis(
+            jnp.moveaxis(U, axis, 0)[:-1], 0, axis)], axis=axis)
+        return U - first
+
+    def d_(X, axis):
+        z = jnp.zeros_like(jnp.take(X, jnp.arange(1), axis=axis))
+        nxt = jnp.concatenate([jnp.moveaxis(
+            jnp.moveaxis(X, axis, 0)[1:], 0, axis), z], axis=axis)
+        return X - nxt
+
+    def gap_and_primal(u1, u2, u3):
+        u1 = jnp.where(v1 > 0, u1, 0.0)
+        u2 = jnp.where(v2 > 0, u2, 0.0)
+        u3 = jnp.where(v3 > 0, u3, 0.0)
+        xhat = Ypad - (dT(u1, 2) + dT(u2, 1) + dT(u3, 0))
+        g1 = d_(xhat, 2) * v1
+        g2 = d_(xhat, 1) * v2
+        g3 = d_(xhat, 0) * v3
+        e = (lam1 * jnp.abs(g1) - u1 * g1 + lam2 * jnp.abs(g2) - u2 * g2
+             + lam3 * jnp.abs(g3) - u3 * g3)
+        gap = jax.lax.psum(jnp.sum(e * core), axis_name)
+        obj = jax.lax.psum(
+            jnp.sum((0.5 * (xhat - Ypad) ** 2 * in_vol
+                     + lam1 * jnp.abs(g1) + lam2 * jnp.abs(g2)
+                     + lam3 * jnp.abs(g3)) * core), axis_name)
+        return gap, obj, xhat
+
+    if gap_tol is None:
+        gtol = jnp.maximum(jnp.asarray(cfg.pdhg_gap_tol, dtype),
+                           64.0 * jnp.finfo(dtype).eps)
+    else:
+        gtol = jnp.asarray(gap_tol, dtype)
+
+    def chunk_call(sd, x, xb, u1, u2, u3):
+        return PK3.pdhg3d_chunk(sd, x, xb, u1, u2, u3, Ypad, k_steps=k_steps,
+                                tl=tl, tm=tm, n_valid=N, m_valid=M,
+                                l_valid=L, stride=L, count=1, pad_top=loff,
+                                pad_m=hm, grad_step=(variant == "condat"))
+
+    def body(state):
+        x, xb, u1, u2, u3, t, gap_b, iters, running = state
+
+        def one(_, st):
+            x, xb, u1, u2, u3, t = st
+            x, xb = exchange(x), exchange(xb)
+            u1, u2, u3 = exchange(u1), exchange(u2), exchange(u3)
+            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 6))
+            x, xb, u1, u2, u3 = chunk_call(sd, x, xb, u1, u2, u3)
+            return x, xb, u1, u2, u3, t + k_steps
+
+        x, xb, u1, u2, u3, t = jax.lax.fori_loop(
+            0, cpc, one, (x, xb, u1, u2, u3, t))
+        iters = iters + cpc * k_steps * running.astype(jnp.int32)
+        u1e, u2e, u3e = exchange(u1), exchange(u2), exchange(u3)
+        gap_new, obj, _ = gap_and_primal(u1e, u2e, u3e)
+        gap_b = jnp.where(running, gap_new, gap_b)
+        running = running & (gap_b > gtol * jnp.maximum(1.0, obj))
+        return x, xb, u1, u2, u3, t, gap_b, iters, running
+
+    def cond(state):
+        *_, t, gap_b, iters, running = state
+        return (t < cap_pad) & running
+
+    zeros = jnp.zeros_like(Ypad)
+    init = (Ypad, Ypad, zeros, zeros, zeros, jnp.int32(0),
+            jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.asarray(True))
+    x, xb, u1, u2, u3, t, gap_b, iters, running = jax.lax.while_loop(
+        cond, body, init)
+
+    u1e, u2e, u3e = exchange(u1), exchange(u2), exchange(u3)
+    gap_b, obj, xhat = gap_and_primal(u1e, u2e, u3e)
+    rc = jnp.where(gap_b > gtol * jnp.maximum(1.0, obj), RC_ITERS,
+                   RC_OK).astype(jnp.int32)
+    out = xhat[hl: hl + local_layers]
+    return out, make_info(iters[None], gap_b[None], rc[None])
+
+
 def tv_nd_batched(Y, ws, ds, ps, max_iters: int = 0, method: str = "pd",
                   inner_method: str = "pn",
                   cfg: CombinerConfig = DEFAULT_COMBINER, use_fused=None):

@@ -73,9 +73,9 @@ def pn_tile_rows(n: int, cap: int = 64) -> int:
 
     ~45 live (tb, n_pad) f32 arrays (solver state, PCR double-buffers,
     stencil temporaries — Mosaic holds ~3x more than the declared scratch)
-    must fit a ~14 MB VMEM budget.  ``cap`` differs by call site: 32 for the
-    standalone batched solve (fewer straggler lanes per tile at equal
-    residency), 64 for combiner fiber sweeps and window solves.
+    must fit a ~14 MB VMEM budget.  ``cap`` differs by call site: 48 for the
+    standalone batched solve (r3 sweep: beats 32 by ~2%, larger tiles lose
+    to straggler lanes), 64 for combiner fiber sweeps and window solves.
     """
     n_pad = -(-n // 128) * 128
     tb = (14 << 20) // (180 * n_pad)

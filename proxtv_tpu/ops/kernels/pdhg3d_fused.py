@@ -74,18 +74,22 @@ def _slb(X):
 
 
 def _make_kernel(k_steps, tl, tm, wl, wm, n, n_valid, m_valid, l_valid,
-                 stride, count, pad_top, pad_m, grad_step):
+                 stride, count, pad_m, grad_step):
     """``count`` volumes of ``l_valid`` layers stacked along L with period
     ``stride``; gap layers carry lam = 0 and decouple exactly.  Valid M rows
-    start at canvas offset ``pad_m``."""
+    start at canvas offset ``pad_m``.  The canvas's L offset (``pad_top``;
+    negative for a mid-volume slab of a layer-banded multi-chip canvas)
+    arrives as a (1,) SMEM scalar so one compiled kernel serves every band
+    (SPMD) — same device as the 2D kernel."""
 
     def kernel(*refs):
-        (sched_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, u3_hbm, y_hbm,
+        (sched_ref, loff_ref, x_hbm, xb_hbm, u1_hbm, u2_hbm, u3_hbm, y_hbm,
          xo_hbm, xbo_hbm, u1o_hbm, u2o_hbm, u3o_hbm) = refs
         li = pl.program_id(0)
         mi = pl.program_id(1)
         l0 = li * tl
         m0 = mi * tm
+        pad_top = loff_ref[0]
 
         def body(*scratch):
             bufs = list(scratch[:-1])
@@ -229,13 +233,14 @@ def make_schedule3(max_iters, lams, sigma0, tau0, variant, cap_mult=2.0):
 @functools.partial(jax.jit,
                    static_argnames=("k_steps", "tl", "tm", "n_valid",
                                     "m_valid", "l_valid", "stride", "count",
-                                    "pad_top", "pad_m", "grad_step"))
+                                    "pad_m", "grad_step"))
 def pdhg3d_chunk(sched, x, xb, u1, u2, u3, y, k_steps: int, tl: int, tm: int,
                  n_valid: int, m_valid: int, l_valid: int, stride: int,
-                 count: int, pad_top: int, pad_m: int,
+                 count: int, pad_top=0, pad_m: int = 0,
                  grad_step: bool = False):
     """Run one K-iteration chunk over all (L, M) bricks.  State arrays are
-    (Lp, Mp, N) canvases; ``sched`` is the (k_steps, 4) schedule slice."""
+    (Lp, Mp, N) canvases; ``sched`` is the (k_steps, 4) schedule slice.
+    ``pad_top`` may be a traced int32 scalar (see _make_kernel)."""
     Lp, Mp, N = x.shape
     hl = _halo_l(k_steps)
     hm = _halo_m(k_steps)
@@ -243,15 +248,19 @@ def pdhg3d_chunk(sched, x, xb, u1, u2, u3, y, k_steps: int, tl: int, tm: int,
     wm = tm + 2 * hm
     grid = ((Lp - 2 * hl) // tl, (Mp - 2 * hm) // tm)
     kernel = _make_kernel(k_steps, tl, tm, wl, wm, N, n_valid, m_valid,
-                          l_valid, stride, count, pad_top, pad_m, grad_step)
+                          l_valid, stride, count, pad_m, grad_step)
     out_shape = tuple(jax.ShapeDtypeStruct((Lp, Mp, N), jnp.float32)
                       for _ in range(5))
+    loff = jnp.asarray(pad_top, jnp.int32).reshape(1)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [any_spec] * 6,
         out_specs=(any_spec,) * 5,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(sched, x, xb, u1, u2, u3, y)
+        # Off-TPU (virtual-mesh dryrun / CPU tests) interpret mode executes
+        # the same program with plain jax ops.
+        interpret=(jax.default_backend() != "tpu"),
+    )(sched, loff, x, xb, u1, u2, u3, y)

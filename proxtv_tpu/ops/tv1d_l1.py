@@ -714,9 +714,10 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
         if fused_ok:
             # Fused VMEM-resident Pallas solver (one HBM read/write).
             from .kernels import pn_fused
-            # tb=32 wins over 64 at bench shapes (fewer straggler lanes per
-            # tile at equal VMEM residency); cap by the VMEM budget.
-            tb = gating.pn_tile_rows(n, cap=32)
+            # tb=48 measured best at bench shapes (r3 sweep over tb x
+            # head_steps: 8/16/24/32/48/64/80/96 rows — 48 wins by ~2% over
+            # 32, larger tiles lose to straggler lanes); cap by VMEM budget.
+            tb = gating.pn_tile_rows(n, cap=48)
             if jnp.ndim(lam) == 0:
                 # Uniform penalty rides to the kernel as an SMEM scalar —
                 # no (B, n) penalty field ever touches HBM.

@@ -198,6 +198,74 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     return x[:M, :N], info
 
 
+def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
+                  max_iters: int = 0, k_steps: int = None, tl: int = None,
+                  tm: int = None, gap_tol=None):
+    """ONE large 3D volume solved by the fused 3D PDHG kernel SPANNING the
+    mesh: the volume is layer-banded along its leading axis, 2*k_steps-layer
+    halos of the five state fields ppermute between neighbors before every
+    K-step chunk, and the duality-gap certificate is psum-reduced — the 3D
+    counterpart of :func:`tv1_2d_banded`.
+
+    Args:
+        Y: (L, M, N) volume (f32 for the TPU kernel).
+        lam: scalar penalty applied to all three axes (the Yang3_TV
+            problem, reference src/TVNDopt.cpp:678).
+    Returns:
+        (x, info): denoised volume and per-solve SolverInfo.
+    """
+    from ..ops.kernels import pdhg3d_fused as PK3
+    from ..utils.config import DEFAULT_COMBINER
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    Y = jnp.asarray(Y)
+    L, M, N = Y.shape
+    Np = -(-N // 128) * 128
+    if k_steps is None or tl is None or tm is None:
+        k_auto, tl_auto, tm_auto = PK3.best_params(Np)
+        k_steps = k_steps or k_auto
+        tl = tl or tl_auto
+        tm = tm or tm_auto
+    hl, hm = PK3._halo_l(k_steps), PK3._halo_m(k_steps)
+    share = -(-L // n_dev)
+    if tl > share:
+        tl = share
+    local_layers = -(-share // tl) * tl
+    Lg = n_dev * local_layers
+    mtiles = max(1, -(-M // tm))
+    Mp = mtiles * tm + 2 * hm
+    Ypad = jnp.pad(Y, ((0, Lg - L), (hm, Mp - hm - M), (0, Np - N)))
+
+    variant = {"condat": "condat", "chambolle-pock": "cp",
+               "chambolle-pock-acc": "cp-acc"}[method.lower()]
+    cap = int(max_iters) or DEFAULT_COMBINER.max_iters_condat
+
+    f = _banded3d_jit(mesh, axis, n_dev, L, M, N, k_steps, tl, tm, variant,
+                      cap, gap_tol)
+    Ys = _shard(Ypad, mesh, P(axis, None, None))
+    x, info = f(Ys, jnp.asarray(lam, Y.dtype))
+    return x[:L, hm:hm + M, :N], info
+
+
+@functools.lru_cache(maxsize=64)
+def _banded3d_jit(mesh, axis, n_dev, L, M, N, k_steps, tl, tm, variant, cap,
+                  gap_tol):
+    """Compiled banded 3D solver, cached per geometry (see _banded_jit)."""
+    from functools import partial
+
+    from ..models.tvnd import _run_pdhg3d_fused_banded
+    from ..utils.config import DEFAULT_COMBINER
+
+    f = jax.shard_map(
+        partial(_run_pdhg3d_fused_banded, cap=cap, cfg=DEFAULT_COMBINER,
+                variant=variant, axis_name=axis, L=L, M=M, N=N, n_dev=n_dev,
+                gap_tol=gap_tol, k_steps=k_steps, tl=tl, tm=tm),
+        mesh=mesh, in_specs=(P(axis, None, None), P()),
+        out_specs=(P(axis, None, None), P()), check_vma=False)
+    return jax.jit(f)
+
+
 @functools.lru_cache(maxsize=64)
 def _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap, gap_tol):
     """Compiled banded solver, cached per geometry — rebuilding the

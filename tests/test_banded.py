@@ -66,3 +66,31 @@ def test_banded_uneven_rows(rng):
                                   k_steps=2, tm=8, max_iters=480)
     assert x8.shape == (M, N)
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=2e-5)
+
+
+def test_banded_3d_matches_single_device(rng):
+    """3D layer-banded fused PDHG over the 8-device mesh equals the 1-device
+    run bitwise-to-f32-noise, and matches the Parallel-Dykstra engine's
+    objective within the certificate contract."""
+    from proxtv_tpu.models import tvnd
+
+    L, M, N = 24, 10, 9
+    Y = rng.randn(L, M, N).astype(np.float32)
+    lam = 0.3
+    x8, info8 = sharded.tv1_3d_banded(Y, lam, sharded.make_mesh(8),
+                                      k_steps=1, tl=3, tm=8, max_iters=480)
+    x1, _ = sharded.tv1_3d_banded(Y, lam, sharded.make_mesh(1),
+                                  k_steps=1, tl=3, tm=8, max_iters=480)
+    assert np.all(np.asarray(info8.rc) == 0), np.asarray(info8.gap)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=2e-5)
+    xr, _ = tvnd.tv_nd_batched(jnp.asarray(Y, jnp.float64)[None],
+                               (lam, lam, lam), (1, 2, 3), (1.0, 1.0, 1.0),
+                               method="pd", max_iters=300)
+
+    def obj3(X):
+        return (0.5 * np.sum((X - Y) ** 2)
+                + lam * sum(np.abs(np.diff(X, axis=a)).sum()
+                            for a in range(3)))
+
+    o8, orf = obj3(np.asarray(x8, np.float64)), obj3(np.asarray(xr)[0])
+    assert o8 <= orf * (1 + 1e-3), (o8, orf)
