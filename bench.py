@@ -402,6 +402,21 @@ def measure_tpu(base):
                      + LAM * (np.abs(np.diff(X4n, axis=0)).sum()
                               + np.abs(np.diff(X4n, axis=1)).sum()))
 
+    # Cross-chip banded fused driver at D=1 (SURVEY §5.8's mesh-spanning
+    # path; on one chip the band is the whole image, so this measures the
+    # banding machinery's overhead against the plain fused engine — the
+    # multi-chip halo model is in docs/SCALING.md).
+    t_band4k = None
+    if jax.default_backend() == "tpu":
+        from proxtv_tpu.parallel import sharded as psharded
+        mesh1 = psharded.make_mesh(1)
+        Y4s = Y4[0]
+
+        def fband():
+            return psharded.tv1_2d_banded(Y4s, LAM, mesh1)[0]
+
+        t_band4k = timed(fband)
+
     W1 = jnp.asarray((0.5 + rng.rand(B1, N1 - 1)).astype(np.float32))
     t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_batched(Y, W, method="pn")),
                   Y1, W1)
@@ -496,6 +511,8 @@ def measure_tpu(base):
         "tpu_2d_obj": float(obj_2d),
         "tpu_2d4k_mpx_s": M4 * N4 / 1e6 / t_2d4k,
         "tpu_2d4k_obj": obj_2d4k,
+        "tpu_2d_banded4k_mpx_s": (M4 * N4 / 1e6 / t_band4k
+                                  if t_band4k else None),
         "tpu_1d_signals_s": B1 / t_1d,
         "tpu_1dw_signals_s": B1 / t_1dw,
         "tpu_l2_signals_s": B1 / t_l2,
@@ -563,6 +580,9 @@ def main():
             "objective_4k_ok": (None if not base.get("ref_2d4k_obj") else
                                 bool(ours["tpu_2d4k_obj"] <=
                                      base["ref_2d4k_obj"] * (1 + 1e-4))),
+            "tpu_2d_banded4k_mpx_s": (
+                round(ours["tpu_2d_banded4k_mpx_s"], 2)
+                if ours.get("tpu_2d_banded4k_mpx_s") else None),
             "tpu_1d_signals_s": round(ours["tpu_1d_signals_s"]),
             "ref_1d_signals_s": round(base["ref_1d_signals_s"]),
             "ref_1d_batch_signals_s": round(base["ref_1d_batch_signals_s"] or 0),

@@ -450,7 +450,7 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     # (A multigrid primal warm start was tried here and reverted: PDHG's
     # convergence is governed by the dual build-up, so a good x0 alone does
     # not reduce the iteration count.)
-    k_steps, tm = _pdhg_fused_params(N)
+    k_steps, tm = _pdhg_fused_params(N, weighted=W_row is not None)
     halo = 2 * k_steps
     gap_rows = 8
     S = M + gap_rows
@@ -600,7 +600,8 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     return out, make_info(iters_img, gap_b, rc)
 
 
-def _run_pdhg_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
+def _run_pdhg_fused_banded(Yl, lam, Wr=None, Wc=None, *, cap, cfg,
+                           variant: str, axis_name: str,
                            M: int, N: int, n_dev: int, gap_tol=None,
                            k_steps: int = None, tm: int = None):
     """Cross-chip fused PDHG: ONE image row-banded over a device mesh
@@ -623,14 +624,20 @@ def _run_pdhg_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
     padding lives entirely after row M (validity masks pin its duals to 0).
     ``local_rows`` must be a multiple of ``tm``.
 
+    ``Wr``/``Wc``: optional (local_rows, Np) slabs of row-/col-edge weight
+    canvases (weighted anisotropic TV, reference DR2L1W_TV
+    src/TV2DWopt.cpp:46) banded exactly like ``Yl``; they are static over the
+    solve, so their halos are exchanged once at setup.
+
     Reference: the dual-update stencil of CondatChambollePock2_TV
     (src/TV2Dopt.cpp:656-745), executed as one mesh-spanning fused solve.
     """
     from ..ops.kernels import pdhg_fused as PK
 
+    weighted = Wr is not None
     local_rows, Np = Yl.shape
     if k_steps is None or tm is None:
-        k_auto, tm_auto = _pdhg_fused_params(N)
+        k_auto, tm_auto = _pdhg_fused_params(N, weighted=weighted)
         k_steps = k_steps or k_auto
         tm = tm or tm_auto
     halo = 2 * k_steps
@@ -652,7 +659,14 @@ def _run_pdhg_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
                            axis_name)
         noise = jnp.sqrt(jnp.maximum(ssum / jnp.maximum(cnt, 1.0) * 0.5,
                                      1e-12))
-        lam_rel = jnp.asarray(lam, dtype) / noise
+        if weighted:
+            # Effective penalty scale = global mean row-edge weight (same
+            # statistic the single-device weighted driver uses).
+            wsum = jax.lax.psum(jnp.sum(Wr[:, : N - 1] * vrow), axis_name)
+            lam_eff = wsum / jnp.maximum(cnt, 1.0)
+        else:
+            lam_eff = jnp.asarray(lam, dtype)
+        lam_rel = lam_eff / noise
         sigma0 = 0.5 * jnp.maximum(1.0, lam_rel)
         cap_mult = jnp.maximum(1.0, (lam_rel / 0.3) ** 1.5) / sigma0
     else:
@@ -692,8 +706,17 @@ def _run_pdhg_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
     in_img = (r >= 0) & (r < M)
     vr = ((col < N - 1) & in_img).astype(dtype)
     vc = ((col < N) & in_img & (r < M - 1)).astype(dtype)
-    lamr = jnp.asarray(lam, dtype) * vr
-    lamc = jnp.asarray(lam, dtype) * vc
+    if weighted:
+        # Weight canvases are static: halo-exchange once (the kernel updates
+        # halo-row duals during a chunk, so halos need the true weights).
+        Wrpad = exchange(jnp.pad(Wr, ((halo, halo), (0, 0))))
+        Wcpad = exchange(jnp.pad(Wc, ((halo, halo), (0, 0))))
+        lamr = Wrpad * vr
+        lamc = Wcpad * vc
+    else:
+        Wrpad = Wcpad = None
+        lamr = jnp.asarray(lam, dtype) * vr
+        lamc = jnp.asarray(lam, dtype) * vc
     core = ((jnp.arange(2 * halo + local_rows) >= halo)
             & (jnp.arange(2 * halo + local_rows) < halo + local_rows)
             ).astype(dtype)[:, None]
@@ -739,7 +762,8 @@ def _run_pdhg_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
     def chunk_call(sd, x, xb, u1, u2):
         return PK.pdhg_chunk(sd, x, xb, u1, u2, Ypad, k_steps=k_steps, tm=tm,
                              n_valid=N, m_valid=M, stride=M, count=1,
-                             pad_top=roff, grad_step=(variant == "condat"))
+                             pad_top=roff, grad_step=(variant == "condat"),
+                             wr=Wrpad, wc=Wcpad)
 
     def body(state):
         x, xb, u1, u2, t, gap_b, iters, running = state

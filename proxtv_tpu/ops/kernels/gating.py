@@ -82,14 +82,20 @@ def pn_tile_rows(n: int, cap: int = 64) -> int:
     return int(max(8, min(cap, (tb // 8) * 8)))
 
 
-def pdhg2d_params(N: int):
+def pdhg2d_params(N: int, weighted: bool = False):
     """(k_steps, tm) for the temporally-blocked 2D PDHG kernel so the live
     VMEM windows fit.  Empirically the Mosaic allocator holds ~14 (win, N)
     f32 arrays live (5 scratch buffers + fori_loop state double-buffers +
-    stencil temporaries)."""
-    budget_rows = (12 << 20) // (14 * 4 * max(N, 128))
-    for k in (12, 8, 6, 4):
+    stencil temporaries); the weighted kernel adds 2 scratch buffers and 2
+    masked-weight temporaries held across the loop (measured 18.84 live
+    windows from a 4K scoped-vmem OOM report — budget 20)."""
+    live = 20 if weighted else 14
+    budget_rows = (12 << 20) // (live * 4 * max(N, 128))
+    # k_steps must be a multiple of 4: the kernel's core-rows DMA slices the
+    # VMEM window at offset halo = 2k, and Mosaic requires sublane slice
+    # offsets divisible by the (8, 128) tiling.
+    for k in (12, 8, 4):
         tm = ((budget_rows - 4 * k) // 8) * 8
         if tm >= 8 * k:  # keep halo overhead under ~50%
             return k, tm
-    return 2, max(8, ((budget_rows - 8) // 8) * 8)
+    return 4, max(8, ((budget_rows - 16) // 8) * 8)

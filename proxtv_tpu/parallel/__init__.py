@@ -6,6 +6,7 @@ from .sharded import (  # noqa: F401
     tvp_1d_sharded,
     tv1_2d_sharded,
     tv1_2d_banded,
+    tv1w_2d_banded,
     tv1_3d_banded,
     tv1_2d_sharded_fused,
     tv1w_2d_sharded_fused,

@@ -143,7 +143,7 @@ def tv1w_2d_sharded_fused(Y, W_col, W_row, mesh: Mesh,
 
 def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
                   max_iters: int = 0, k_steps: int = None, tm: int = None,
-                  gap_tol=None):
+                  gap_tol=None, W_col=None, W_row=None):
     """ONE large image solved by the fused PDHG kernel SPANNING the mesh
     (SURVEY §5.8: cross-chip fused execution).
 
@@ -162,6 +162,8 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
         mesh: 1D device mesh; the image rows are banded over its axis.
         k_steps/tm: kernel chunk length and band rows (default: auto-tuned
             single-device parameters, with tm shrunk to fit the local band).
+        W_col/W_row: optional (M-1, N) / (M, N-1) per-edge weight fields
+            (weighted anisotropic TV); use :func:`tv1w_2d_banded`.
     Returns:
         (x, info): the denoised (M, N) image and its per-solve SolverInfo.
     """
@@ -174,7 +176,7 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     M, N = Y.shape
     Np = -(-N // 128) * 128
     if k_steps is None or tm is None:
-        k_auto, tm_auto = _pdhg_fused_params(N)
+        k_auto, tm_auto = _pdhg_fused_params(N, weighted=W_row is not None)
         k_steps = k_steps or k_auto
         tm = tm or tm_auto
     # Geometry: every device gets Lt*tm rows of the globally padded canvas
@@ -191,11 +193,48 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
                "chambolle-pock-acc": "cp-acc"}[method.lower()]
     cap = int(max_iters) or DEFAULT_COMBINER.max_iters_condat
 
+    weighted = W_row is not None
     f = _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap,
-                    gap_tol)
+                    gap_tol, weighted=weighted)
     Ys = _shard(Ypad, mesh, P(axis, None))
-    x, info = f(Ys, jnp.asarray(lam, Y.dtype))
+    if weighted:
+        # Row-/col-edge weight canvases padded to the SAME (Mg, Np) banded
+        # layout as Y (the driver's validity masks zero the pad regions).
+        Wr = jnp.asarray(W_row, Y.dtype)
+        Wc = jnp.asarray(W_col, Y.dtype)
+        Wrp = jnp.pad(Wr, ((0, Mg - M), (0, Np - (N - 1))))
+        Wcp = jnp.pad(Wc, ((0, Mg - (M - 1)), (0, Np - N)))
+        x, info = f(Ys, jnp.asarray(1.0, Y.dtype),
+                    _shard(Wrp, mesh, P(axis, None)),
+                    _shard(Wcp, mesh, P(axis, None)))
+    else:
+        x, info = f(Ys, jnp.asarray(lam, Y.dtype))
     return x[:M, :N], info
+
+
+def tv1w_2d_banded(Y, W_col, W_row, mesh: Mesh,
+                   method: str = "chambolle-pock-acc", max_iters: int = 0,
+                   k_steps: int = None, tm: int = None, gap_tol=None):
+    """ONE large WEIGHTED image solved by the fused PDHG kernel spanning the
+    mesh: the weighted counterpart of :func:`tv1_2d_banded` (reference
+    problem DR2L1W_TV, src/TV2DWopt.cpp:46).  The per-edge weight canvases
+    are row-banded with the image and halo-exchanged once at setup.
+
+    Args:
+        Y: (M, N) image.  W_col: (M-1, N) column-edge weights.
+        W_row: (M, N-1) row-edge weights.
+    Returns:
+        (x, info): denoised image and per-solve SolverInfo.
+    """
+    W_col = jnp.asarray(W_col)
+    W_row = jnp.asarray(W_row)
+    M, N = jnp.asarray(Y).shape
+    if W_col.shape != (M - 1, N) or W_row.shape != (M, N - 1):
+        raise ValueError(f"weight shapes {W_col.shape}/{W_row.shape} do not "
+                         f"match image ({M}, {N})")
+    return tv1_2d_banded(Y, 1.0, mesh, method=method, max_iters=max_iters,
+                         k_steps=k_steps, tm=tm, gap_tol=gap_tol,
+                         W_col=W_col, W_row=W_row)
 
 
 def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
@@ -267,7 +306,8 @@ def _banded3d_jit(mesh, axis, n_dev, L, M, N, k_steps, tl, tm, variant, cap,
 
 
 @functools.lru_cache(maxsize=64)
-def _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap, gap_tol):
+def _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap, gap_tol,
+                weighted=False):
     """Compiled banded solver, cached per geometry — rebuilding the
     shard_map + jit wrapper on every call would retrace (and on the remote-
     compile TPU tunnel, recompile) each time."""
@@ -276,12 +316,14 @@ def _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap, gap_tol):
     from ..models.tv2d import _run_pdhg_fused_banded
     from ..utils.config import DEFAULT_COMBINER
 
+    band = P(axis, None)
+    in_specs = (band, P()) + ((band, band) if weighted else ())
     f = jax.shard_map(
         partial(_run_pdhg_fused_banded, cap=cap, cfg=DEFAULT_COMBINER,
                 variant=variant, axis_name=axis, M=M, N=N, n_dev=n_dev,
                 gap_tol=gap_tol, k_steps=k_steps, tm=tm),
-        mesh=mesh, in_specs=(P(axis, None), P()),
-        out_specs=(P(axis, None), P()), check_vma=False)
+        mesh=mesh, in_specs=in_specs,
+        out_specs=(band, P()), check_vma=False)
     return jax.jit(f)
 
 

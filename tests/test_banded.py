@@ -68,6 +68,51 @@ def test_banded_uneven_rows(rng):
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=2e-5)
 
 
+def test_banded_weighted_uniform_equals_unweighted(rng):
+    """Uniform weight fields == scalar lam: the weighted banded driver must
+    reproduce the unweighted one (same schedule: mean row-edge weight = lam)."""
+    M, N = 48, 24
+    Y = rng.randn(M, N).astype(np.float32)
+    lam = 0.4
+    mesh = sharded.make_mesh(8)
+    Wc = np.full((M - 1, N), lam, np.float32)
+    Wr = np.full((M, N - 1), lam, np.float32)
+    xw, infow = sharded.tv1w_2d_banded(Y, Wc, Wr, mesh, k_steps=2, tm=8,
+                                       max_iters=480)
+    xu, _ = sharded.tv1_2d_banded(Y, lam, mesh, k_steps=2, tm=8,
+                                  max_iters=480)
+    assert np.all(np.asarray(infow.rc) == 0), np.asarray(infow.gap)
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xu), atol=2e-5)
+
+
+def test_banded_weighted_matches_single_device(rng):
+    """Weighted banded solve over 8 devices == 1-device mesh, and its
+    objective matches the (f64) weighted Davis-Yin engine within the
+    certificate contract."""
+    M, N = 56, 30
+    Y = rng.randn(M, N).astype(np.float32)
+    Wc = (0.2 + 0.6 * rng.rand(M - 1, N)).astype(np.float32)
+    Wr = (0.2 + 0.6 * rng.rand(M, N - 1)).astype(np.float32)
+    x8, info8 = sharded.tv1w_2d_banded(Y, Wc, Wr, sharded.make_mesh(8),
+                                       k_steps=2, tm=8, max_iters=600)
+    x1, _ = sharded.tv1w_2d_banded(Y, Wc, Wr, sharded.make_mesh(1),
+                                   k_steps=2, tm=8, max_iters=600)
+    assert np.all(np.asarray(info8.rc) == 0), np.asarray(info8.gap)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=2e-5)
+
+    def objw(X):
+        return (0.5 * np.sum((X - Y) ** 2)
+                + np.sum(Wc * np.abs(np.diff(X, axis=0)))
+                + np.sum(Wr * np.abs(np.diff(X, axis=1))))
+
+    xr, _ = tv2d.tv1w_2d_batched(jnp.asarray(Y, jnp.float64)[None],
+                                 jnp.asarray(Wc, jnp.float64)[None],
+                                 jnp.asarray(Wr, jnp.float64)[None],
+                                 method="dr", max_iters=300)
+    o8, orf = objw(np.asarray(x8, np.float64)), objw(np.asarray(xr)[0])
+    assert o8 <= orf * (1 + 1e-3), (o8, orf)
+
+
 def test_banded_3d_matches_single_device(rng):
     """3D layer-banded fused PDHG over the 8-device mesh equals the 1-device
     run bitwise-to-f32-noise, and matches the Parallel-Dykstra engine's

@@ -237,6 +237,15 @@ def test_gating_budget_formulas_pinned():
     assert gating.pdhg2d_params(2048) == (8, 72)
     assert gating.pdhg2d_params(4096) == (4, 32)
     assert gating.pdhg2d_params(128) == (12, 1704)
+    # Weighted kernel: 2 more scratch buffers + 2 live weight temporaries
+    # (measured 18.84 live windows at 4K — budget 20).
+    assert gating.pdhg2d_params(1024, weighted=True) == (12, 104)
+    assert gating.pdhg2d_params(3840, weighted=True) == (4, 24)
+    # k_steps must stay a multiple of 4 (Mosaic sublane-slice constraint).
+    for n in (128, 1024, 2048, 3840, 4096, 8192):
+        for w in (False, True):
+            k, tm = gating.pdhg2d_params(n, weighted=w)
+            assert k % 4 == 0 and tm % 8 == 0, (n, w, k, tm)
 
     # The gate itself: off-TPU backends always refuse.
     import jax.numpy as jnp
