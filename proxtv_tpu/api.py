@@ -98,7 +98,12 @@ def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,
     if auto and maxbacktracks is not None and method in _TAUTSTRING_METHODS:
         method = "dp"
     n = int(np.asarray(x).size)
-    if backend == "auto" and method in _TAUTSTRING_METHODS and not return_info:
+    # Native host engine: auto keeps it for the short-signal latency tail
+    # only (above 16384 the documented auto policy is the TPU chunked path
+    # below); an explicit taut-string method takes it at any size — it IS
+    # the named algorithm, and the host scan beats a lock-step device scan.
+    if (backend == "auto" and method in _TAUTSTRING_METHODS
+            and not return_info and (not auto or n <= 16384)):
         from .runtime import native
 
         if native.available():
@@ -140,7 +145,10 @@ def tv1w_1d(x, w, method="auto", sigma=0.05, return_info=False,
     auto = method == "auto"
     if auto:
         method = "tautstring"
-    if backend == "auto" and method == "tautstring" and not return_info:
+    # Same native-host policy as tv1_1d: auto reserves it for the
+    # short-signal latency tail; explicit 'tautstring' takes it at any size.
+    if (backend == "auto" and method == "tautstring" and not return_info
+            and (not auto or int(np.asarray(x).size) <= 16384)):
         from .runtime import native
 
         if native.available():

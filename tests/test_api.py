@@ -184,6 +184,39 @@ def test_tv1_1d_explicit_method_honored_above_long_threshold(rng):
     np.testing.assert_array_equal(x_t, x_t2)
 
 
+def test_tv1_1d_auto_backend_routing(rng, monkeypatch):
+    """backend='auto' policy: under method='auto' the native host engine
+    serves only the short-signal latency tail — a long signal must reach the
+    chunked certificate path (the documented n > 16384 auto route), while an
+    *explicit* taut-string method keeps the host engine at any size."""
+    from proxtv_tpu.ops import tv1d_long
+    from proxtv_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native host engine unavailable")
+
+    calls = []
+    real_long = tv1d_long.tv1_long
+    real_host = native.tv1_host
+    monkeypatch.setattr(tv1d_long, "tv1_long",
+                        lambda *a, **k: calls.append("long") or real_long(*a, **k))
+    monkeypatch.setattr(native, "tv1_host",
+                        lambda *a, **k: calls.append("host") or real_host(*a, **k))
+
+    n = 16500
+    y = np.cumsum(rng.randn(n)) * 0.1
+    ptv.tv1_1d(y, 1.0)                                  # auto, long -> chunked
+    assert calls == ["long"], calls
+    calls.clear()
+    ptv.tv1_1d(y[:100], 1.0)                            # auto, short -> host
+    assert calls == ["host"], calls
+    calls.clear()
+    ptv.tv1_1d(y, 1.0, method="hybridtautstring")       # explicit -> host
+    assert calls == ["host"], calls
+
+
 def test_tv1w_1d_explicit_method_honored_above_long_threshold(rng):
     n = 16500
     y = np.cumsum(rng.randn(n)) * 0.1
