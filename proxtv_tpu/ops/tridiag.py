@@ -167,3 +167,52 @@ def spd_second_difference_solve(rhs, diag_shift=0.0, mask=None, method="pcr"):
         d = jnp.where(mask, d, jnp.zeros_like(d))
     solver = pcr_solve if method == "pcr" else thomas_solve
     return solver(a, b, c, d)
+
+
+def spd_shifted_solve_normalized(rhs, diag_shift=0.0):
+    """Solve ``(DD' + shift I) x = rhs`` by NORMALIZED parallel cyclic
+    reduction: the diagonal is rescaled to 1 each level, so only (b, c, d)
+    flow through the reduction — ~30% less HBM traffic than
+    :func:`pcr_solve`'s general (a, b, c, d) form, which is what the
+    long-signal (n ~ 1e6, HBM-bound) TV-L2 secular iteration pays per
+    solve (measured 1.65 vs 2.10 ms on a v5e).  Same normalization as the
+    fused MS kernel's in-VMEM reduction (ops/kernels/ms_fused.py); diagonal
+    dominance (2 + shift) keeps the normalized off-diagonals <= 1/2 —
+    stable in f32.
+
+    (Classic cyclic reduction — O(n) total work, halving the active system
+    per level — was tried here and reverted: the per-level stride-2 lane
+    slicing forces Mosaic/XLA cross-lane relayouts that made the n = 1e6
+    solve ~26x SLOWER on TPU despite ~5x less nominal traffic.)
+
+    Args:
+        rhs: (..., n) right-hand side.
+        diag_shift: scalar or (..., 1) nonnegative diagonal shift.
+    """
+    n = rhs.shape[-1]
+    dtype = rhs.dtype
+    r0 = 1.0 / (2.0 + jnp.asarray(diag_shift, dtype))
+    if n == 1:
+        return rhs * r0
+    mr0 = jnp.broadcast_to(-r0, rhs.shape).astype(dtype)
+    zero = jnp.zeros(rhs.shape[:-1] + (1,), dtype)
+    b = jnp.concatenate([zero, mr0[..., 1:]], axis=-1)
+    c = jnp.concatenate([mr0[..., :-1], zero], axis=-1)
+    d = rhs * r0
+    steps = max(1, math.ceil(math.log2(n)))
+    for k in range(steps):
+        stride = 1 << k
+        if stride >= n:
+            break
+        bm = _shift_right(b, stride)
+        bp = _shift_left(b, stride)
+        cm = _shift_right(c, stride)
+        cp = _shift_left(c, stride)
+        dm = _shift_right(d, stride)
+        dp = _shift_left(d, stride)
+        r = 1.0 / (1.0 - b * cm - c * bp)
+        d = (d - b * dm - c * dp) * r
+        if stride * 2 < n:  # b, c dead after the final step
+            b = (-b * bm) * r
+            c = (-c * cp) * r
+    return d

@@ -35,6 +35,24 @@ def test_tridiag_solvers_match_dense(rng):
         np.testing.assert_allclose(x_th[k], x_ref, rtol=1e-9, atol=1e-9)
 
 
+def test_normalized_shifted_solve_matches_pcr(rng):
+    """Normalized PCR (the long-signal TV-L2 solve engine) == general PCR
+    on the shifted second-difference family, across sizes, per-row shifts,
+    and the unshifted alpha = 0 edge."""
+    for n in (1, 2, 3, 7, 8, 100, 1000, 4097):
+        d = jnp.asarray(rng.randn(3, n))
+        for alpha in (0.0, 0.013, 2.5):
+            x1 = np.asarray(tridiag.spd_second_difference_solve(
+                d, diag_shift=alpha))
+            x2 = np.asarray(tridiag.spd_shifted_solve_normalized(d, alpha))
+            np.testing.assert_allclose(x2, x1, rtol=1e-9, atol=1e-9)
+    d = jnp.asarray(rng.randn(3, 257))
+    alpha = jnp.asarray(rng.rand(3))[:, None]
+    x1 = np.asarray(tridiag.spd_second_difference_solve(d, diag_shift=alpha))
+    x2 = np.asarray(tridiag.spd_shifted_solve_normalized(d, alpha))
+    np.testing.assert_allclose(x2, x1, rtol=1e-9, atol=1e-9)
+
+
 def test_masked_second_difference_solve(rng):
     n, B = 12, 3
     rhs = rng.randn(B, n)
