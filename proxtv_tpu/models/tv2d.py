@@ -243,15 +243,26 @@ def _make_info(iters, delta, cap, tol):
 def _freeze_tree(new, old, running, B):
     """Per-image select between the post-sweep state ``new`` and the
     pre-sweep state ``old``: images with ``running[b] == False`` keep their
-    old state.  Every state leaf in the combiner drivers is image-major with
-    leading dim B or B*fibers ((B, M, N) primal/dual fields, (B*M, n) /
-    (B*N, m) fiber warm-start states); shared scalars (schedule tau/sigma)
+    old state.
+
+    State-layout CONTRACT (enforced): every non-scalar leaf in a combiner
+    driver's loop state is image-major with leading dim an exact multiple of
+    B ((B, M, N) primal/dual fields, (B*M, n) / (B*N, m) fiber warm-start
+    states); shared values (schedule tau/sigma) must be 0-d scalars, which
     pass through unfrozen — harmless, since the per-image fields they feed
-    are frozen."""
+    are frozen.  A non-scalar leaf whose leading dim is NOT a multiple of B
+    raises at trace time rather than silently escaping the freeze; a shared
+    array leaf must be kept out of the state (close over it) or carried 0-d.
+    """
 
     def sel(n, o):
-        if n.ndim == 0 or n.shape[0] % B != 0:
+        if n.ndim == 0:
             return n
+        if n.shape[0] % B != 0:
+            raise ValueError(
+                f"combiner state leaf of shape {n.shape} violates the "
+                f"image-major contract (leading dim must be a multiple of "
+                f"B={B}, or the leaf must be a 0-d shared scalar)")
         m = jnp.repeat(running, n.shape[0] // B)
         return jnp.where(m.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
 

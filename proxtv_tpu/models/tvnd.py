@@ -321,7 +321,8 @@ def _run_pdhg3d_fused_banded(Yl, lam, cap, cfg, variant: str, axis_name: str,
     lam = jnp.asarray(lam, dtype)
 
     if variant == "cp-acc":
-        from .tv2d import _pdhg_sigma_schedule  # noqa: F401 (shape of calc)
+        # Scale-invariant schedule from global psum'd statistics (same
+        # calculation as tv2d._pdhg_sigma_schedule, inlined for the mesh).
         gl = jnp.arange(local_layers) + d * local_layers
         vlay = (gl < L).astype(dtype)[:, None, None]
         dY = Yl[:, hm:hm + M, 1:N] - Yl[:, hm:hm + M, :N - 1]

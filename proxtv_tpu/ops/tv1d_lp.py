@@ -71,6 +71,15 @@ def _hess_mv(w):
     return diffs.primal2grad(diffs.adjoint_diff(w))
 
 
+def _tol_of(cfg, den, dtype):
+    """Reference-parity stopping tolerance with a dtype-achievability floor
+    scaled by the gap statistic's own cancellation magnitude ``den`` (see
+    :func:`_gap_tvp`) — shared by the projected-gradient and Frank-Wolfe
+    drivers so their stopping semantics cannot drift apart."""
+    return jnp.maximum(jnp.asarray(cfg.stop, dtype),
+                       10.0 * jnp.finfo(dtype).eps * jnp.maximum(1.0, den))
+
+
 def _common_setup(y, lam, p):
     y = jnp.asarray(y)
     B, n = y.shape
@@ -115,13 +124,9 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
         return y + ybar, info1
     cap = int(max_iters) if max_iters else cfg.max_iters
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
-    # Reference-parity tolerance with a dtype-achievability floor scaled by
-    # the gap statistic's own cancellation magnitude (see _gap_tvp).
-    feps10 = 10.0 * jnp.finfo(dtype).eps
 
     def tol_of(den):
-        return jnp.maximum(jnp.asarray(cfg.stop, dtype),
-                           feps10 * jnp.maximum(1.0, den))
+        return _tol_of(cfg, den, dtype)
 
     if momentum == "ogp":
         # mu-strongly-convex momentum (reference OGP_TVp :436).
@@ -237,11 +242,9 @@ def _run_fw(y, lam, p: float, cfg: TVpConfig, max_iters: int, gp_every: int,
         return y + ybar, info1
     cap = int(max_iters) if max_iters else cfg.max_iters_fw
     step = jnp.asarray(1.0 / _L_LIPSCHITZ, dtype)
-    feps10 = 10.0 * jnp.finfo(dtype).eps
 
     def tol_of(den):
-        return jnp.maximum(jnp.asarray(cfg.stop, dtype),
-                           feps10 * jnp.maximum(1.0, den))
+        return _tol_of(cfg, den, dtype)
 
     def body(state):
         w, mu, gap, iters, k, running = state

@@ -179,6 +179,13 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
         k_auto, tm_auto = _pdhg_fused_params(N, weighted=W_row is not None)
         k_steps = k_steps or k_auto
         tm = tm or tm_auto
+    elif jax.default_backend() == "tpu" and (k_steps % 4 or tm % 8):
+        # Mosaic slices the VMEM window at sublane offset halo = 2*k_steps,
+        # which must be divisible by the (8, 128) tiling; interpret mode
+        # (tests / virtual meshes) has no such constraint.
+        raise ValueError(
+            f"on TPU k_steps must be a multiple of 4 and tm a multiple of 8 "
+            f"(got k_steps={k_steps}, tm={tm}); omit them for auto-tuning")
     # Geometry: every device gets Lt*tm rows of the globally padded canvas
     # (the padding sits entirely after image row M and is masked invalid);
     # shrink tm if a device's fair share is below the single-device band.
@@ -200,8 +207,10 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     if weighted:
         # Row-/col-edge weight canvases padded to the SAME (Mg, Np) banded
         # layout as Y (the driver's validity masks zero the pad regions).
-        Wr = jnp.asarray(W_row, Y.dtype)
-        Wc = jnp.asarray(W_col, Y.dtype)
+        # ``lam`` scales the weight fields (the effective per-edge penalty
+        # is lam * W, so tv1w_2d_banded's lam = 1.0 means "W as given").
+        Wr = jnp.asarray(W_row, Y.dtype) * jnp.asarray(lam, Y.dtype)
+        Wc = jnp.asarray(W_col, Y.dtype) * jnp.asarray(lam, Y.dtype)
         Wrp = jnp.pad(Wr, ((0, Mg - M), (0, Np - (N - 1))))
         Wcp = jnp.pad(Wc, ((0, Mg - (M - 1)), (0, Np - N)))
         x, info = f(Ys, jnp.asarray(1.0, Y.dtype),

@@ -83,6 +83,13 @@ def test_banded_weighted_uniform_equals_unweighted(rng):
                                   max_iters=480)
     assert np.all(np.asarray(infow.rc) == 0), np.asarray(infow.gap)
     np.testing.assert_allclose(np.asarray(xw), np.asarray(xu), atol=2e-5)
+    # lam scales the weight fields: lam=0.4 with unit weights == the same
+    # problem (the effective per-edge penalty is lam * W).
+    xs, _ = sharded.tv1_2d_banded(Y, lam, mesh, k_steps=2, tm=8,
+                                  max_iters=480,
+                                  W_col=np.ones((M - 1, N), np.float32),
+                                  W_row=np.ones((M, N - 1), np.float32))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xu), atol=2e-5)
 
 
 def test_banded_weighted_matches_single_device(rng):
