@@ -268,6 +268,18 @@ def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     Y = jnp.asarray(Y)
+    # Band along the LONGEST of the two non-lane axes: per-iteration halo
+    # traffic is a fixed number (~20) of cross-sections of the banded axis,
+    # so banding a shallow axis is halo-dominated on a real mesh (measured:
+    # at 32x256x256 a 2-chunk L-band moves a 256x256 section per field per
+    # direction while computing only a few layers).  Anisotropic TV with one
+    # scalar lam is symmetric in L and M, so a transpose is free semantics.
+    if Y.shape[1] > Y.shape[0] and n_dev > 1:
+        x, info = tv1_3d_banded(jnp.swapaxes(Y, 0, 1), lam, mesh,
+                                method=method, max_iters=max_iters,
+                                k_steps=k_steps, tl=tl, tm=tm,
+                                gap_tol=gap_tol)
+        return jnp.swapaxes(x, 0, 1), info
     L, M, N = Y.shape
     Np = -(-N // 128) * 128
     if k_steps is None or tl is None or tm is None:

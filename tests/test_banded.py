@@ -120,6 +120,22 @@ def test_banded_weighted_matches_single_device(rng):
     assert o8 <= orf * (1 + 1e-3), (o8, orf)
 
 
+def test_banded_3d_bands_longest_axis(rng):
+    """A volume with M > L is banded along M (via the symmetric transpose)
+    on a multi-device mesh; the result agrees with the untransposed 1-device
+    banded solve at the same certificate."""
+    L, M, N = 9, 24, 10
+    Y = rng.randn(L, M, N).astype(np.float32)
+    lam = 0.3
+    x8, info8 = sharded.tv1_3d_banded(Y, lam, sharded.make_mesh(8),
+                                      k_steps=1, tl=3, tm=8, max_iters=480)
+    x1, _ = sharded.tv1_3d_banded(Y, lam, sharded.make_mesh(1),
+                                  k_steps=1, tl=3, tm=8, max_iters=480)
+    assert x8.shape == (L, M, N)
+    assert np.all(np.asarray(info8.rc) == 0), np.asarray(info8.gap)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-3)
+
+
 def test_banded_3d_matches_single_device(rng):
     """3D layer-banded fused PDHG over the 8-device mesh equals the 1-device
     run bitwise-to-f32-noise, and matches the Parallel-Dykstra engine's
