@@ -104,6 +104,9 @@ def test_linf_limit(rng):
     B, n = 4, 14
     Y = jnp.asarray(rng.randn(B, n) * 2)
     x, info = tv1d_lp.tvp_batched(Y, 0.8, 150.0, method="gp")
+    # p = inf is the same clamped problem (reference LPPROJ_PLARGE = 100).
+    x_inf, _ = tv1d_lp.tvp_batched(Y, 0.8, float("inf"), method="gp")
+    np.testing.assert_allclose(np.asarray(x_inf), np.asarray(x), atol=1e-6)
     x = np.asarray(x)
     for k in range(B):
         yk = np.asarray(Y)[k]
