@@ -105,6 +105,18 @@ def main():
         out_specs=P(ax, None, None), check_vma=False)
     audit("2D PDHG, shard_map per-device", f, Ys)
 
+    # 5) cross-chip banded fused PDHG: the only array traffic must be the
+    # neighbor collective-permutes of the halo exchange, plus the scalar
+    # psum of the certificate.
+    Yb = jnp.asarray(rng.randn(64, 40).astype(np.float32))
+    audit("2D banded fused (ppermute halos)",
+          lambda y: parallel.tv1_2d_banded(y, 0.3, mesh, k_steps=2, tm=8,
+                                           max_iters=48)[0], Yb)
+    V3 = jnp.asarray(rng.randn(24, 12, 9).astype(np.float32))
+    audit("3D banded fused (ppermute halos)",
+          lambda v: parallel.tv1_3d_banded(v, 0.3, mesh, k_steps=1, tl=3,
+                                           tm=8, max_iters=24)[0], V3)
+
 
 if __name__ == "__main__":
     main()
