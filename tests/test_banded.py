@@ -68,6 +68,21 @@ def test_banded_uneven_rows(rng):
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=2e-5)
 
 
+@pytest.mark.parametrize("M,N", [(17, 9), (9, 130), (33, 40)])
+def test_banded_geometry_fuzz(rng, M, N):
+    """Awkward geometries (M smaller than the mesh, N just past a lane
+    boundary, odd everything): the 8-device banded solve must equal the
+    1-device one and keep the image region finite/valid."""
+    Y = rng.randn(M, N).astype(np.float32)
+    x8, _ = sharded.tv1_2d_banded(Y, 0.3, sharded.make_mesh(8),
+                                  k_steps=2, tm=8, max_iters=240)
+    x1, _ = sharded.tv1_2d_banded(Y, 0.3, sharded.make_mesh(1),
+                                  k_steps=2, tm=8, max_iters=240)
+    assert x8.shape == (M, N)
+    assert np.isfinite(np.asarray(x8)).all()
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=2e-5)
+
+
 def test_banded_weighted_uniform_equals_unweighted(rng):
     """Uniform weight fields == scalar lam: the weighted banded driver must
     reproduce the unweighted one (same schedule: mean row-edge weight = lam)."""
