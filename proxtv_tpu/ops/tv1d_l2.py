@@ -48,11 +48,101 @@ def _gap_tv2(w, g, lam):
     return jnp.abs(lam * jnp.linalg.norm(g, axis=-1) + jnp.sum(w * g, axis=-1))
 
 
+def _dst1(x):
+    """Orthonormal DST-I along the last axis (involutory: S @ S = I), via an
+    odd-extension real FFT: FFT([0, x, 0, -reverse(x)])_k = -2i DST1(x)_k.
+
+    DD' (the TV dual Hessian) is the Dirichlet discrete Laplacian, which
+    DST-I diagonalizes exactly — eigenvalues 4 sin^2(k pi / (2(m+1))) — so
+    shifted solves and the whole More-Sorensen secular iteration become
+    ELEMENTWISE in this basis (see :func:`_spectral_secular`)."""
+    m = x.shape[-1]
+    zero = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    ext = jnp.concatenate([zero, x, zero, -jnp.flip(x, -1)], axis=-1)
+    F = jnp.fft.rfft(ext, axis=-1)
+    import numpy as np
+    return (-0.5 * np.sqrt(2.0 / (m + 1))) * jnp.imag(F)[..., 1:m + 1].astype(x.dtype)
+
+
+def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters):
+    """Solve the More-Sorensen secular equation ||w(alpha)|| = lam entirely
+    in the DST-I eigenbasis of DD': with s = DST(dy) and eigenvalues mu_k,
+    ||w(alpha)||^2 = sum_k s_k^2 / (mu_k + alpha)^2 — every Newton iteration
+    is elementwise + a reduction, NO tridiagonal solves.  Returns
+    (alpha, aprev, phi_prev, w_real, iters): the root, the previous iterate
+    pair (seeding the real-space secant fallback in case f32 FFT rounding
+    leaves the real-space norm outside tolerance), the dual in real space,
+    and the iteration count.
+
+    phi(alpha) = 1/lam - 1/||w(alpha)|| is convex decreasing with
+    phi(root) = 0 (More-Sorensen), so Newton from alpha = 0 converges
+    monotonically from below."""
+    m = dy.shape[-1]
+    dtype = dy.dtype
+    import numpy as np
+    theta = (jnp.arange(1, m + 1, dtype=dtype) * (np.pi / (m + 1)))
+    mu = 4.0 * jnp.sin(0.5 * theta) ** 2
+    s = _dst1(dy)
+    s2 = s * s
+
+    def norm_phi(alpha):
+        denom = mu + alpha[:, None]
+        t2 = s2 / (denom * denom)
+        P = jnp.sum(t2, axis=-1)
+        nrm = jnp.sqrt(P)
+        phi = 1.0 / safe_lam - 1.0 / jnp.maximum(nrm, EPSILON)
+        dphi = -jnp.sum(t2 / denom, axis=-1) / jnp.maximum(
+            P * nrm, EPSILON)
+        return nrm, phi, dphi
+
+    B = dy.shape[0]
+    zero = jnp.zeros((B,), dtype)
+    nrm0, phi0, dphi0 = norm_phi(zero)
+    running0 = (jnp.abs(nrm0 - lamv) > tolb) & (nrm0 > lamv)
+
+    def body(state):
+        alpha, aprev, phiprev, iters, running = state
+        nrm, phi, dphi = norm_phi(alpha)
+        alpha_new = jnp.maximum(alpha - phi / jnp.where(
+            dphi < -EPSILON, dphi, -EPSILON), 0.0)
+        conv = jnp.abs(nrm - lamv) <= tolb
+        aprev = jnp.where(running, alpha, aprev)
+        phiprev = jnp.where(running, phi, phiprev)
+        alpha = jnp.where(running & ~conv, alpha_new, alpha)
+        iters = iters + running.astype(jnp.int32)
+        running = running & ~conv
+        return alpha, aprev, phiprev, iters, running
+
+    def cond(state):
+        _, _, _, iters, running = state
+        return jnp.any(running) & (jnp.max(iters) < max_iters)
+
+    alpha1 = jnp.maximum(zero - phi0 / jnp.where(dphi0 < -EPSILON, dphi0,
+                                                 -EPSILON), 0.0)
+    alpha1 = jnp.where(running0, alpha1, 0.0)
+    alpha, aprev, phiprev, iters, _ = jax.lax.while_loop(
+        cond, body, (alpha1, zero, phi0, jnp.zeros((B,), jnp.int32),
+                     running0))
+    w = _dst1(s / (mu + alpha[:, None]))
+    return alpha, aprev, phiprev, w, iters
+
+
 def _lam_vec(lam, B, dtype):
     lam = jnp.asarray(lam, dtype)
     if lam.ndim == 0:
         return jnp.broadcast_to(lam, (B,))
     return lam.reshape(B)
+
+
+def _fft_friendly(L: int) -> bool:
+    """True when a length-L FFT is fast on TPU: after removing factors of
+    2 and 3 the remainder must be <= 5 (measured: 2^17*3*5 = 1,966,080 runs
+    at 4.7 ms, 2^7*5^6 = 2,000,000 at 32.7 ms on a v5e)."""
+    while L % 2 == 0:
+        L //= 2
+    while L % 3 == 0:
+        L //= 3
+    return L <= 5
 
 
 def _ms_fused_ok(y):
@@ -133,29 +223,47 @@ def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
         return tridiag.spd_second_difference_solve(
             rhs, diag_shift=alpha[:, None])
 
-    # Bootstrap: one Cholesky-form Newton step of the secular equation
-    # phi(alpha) = 1/lam - 1/||w(alpha)|| (reference more_TV2 update,
-    # src/TVL2opt.cpp:106-128) — the only double solve; the loop then runs
-    # the SECANT iteration (one solve per step), mirroring the fused MS
-    # kernel (ops/kernels/ms_fused.py).  phi is convex decreasing with
-    # phi(root) = 0, so Newton from below under-shoots and the secant also
-    # converges monotonically from below; a warm alpha may start above the
-    # root, where the (clipped) updates descend, safeguarded by the cap.
-    if alpha_init is None:
-        a_start = jnp.zeros((B,), dtype)
+    if n > 8192 and _fft_friendly(2 * n):
+        # Large FFT-friendly fibers: solve the secular equation ENTIRELY in
+        # the DST-I eigenbasis of DD' — every Newton iteration is
+        # elementwise, no tridiagonal solves; total cost = 2 FFTs vs ~9
+        # tridiagonal solves (~1.65 ms each at n ~ 1e6 on a v5e).  The
+        # secant loop below then runs only if FFT rounding left the
+        # real-space norm outside tolerance (it is seeded with the spectral
+        # iterate pair).  Gated on the transform length's smoothness: the
+        # TPU FFT runs 2-smooth sizes at ~3-7 ms/2M but radix-5-heavy ones
+        # ~5x slower (measured 32.7 ms at 2,000,000 = 2^7*5^6 — which is
+        # why n = 1e6 stays on the secant+PCR path).
+        alpha1, a_start, phi_s, w_s, it0 = _spectral_secular(
+            dy, lamv, safe_lam, tolb, cfg.max_iters)
+        nrm_s = jnp.linalg.norm(w_s, axis=-1)
+        interior0 = (alpha1 <= 0) & (nrm_s <= lamv) & ~zero_pen
     else:
-        a_start = jnp.maximum(jnp.asarray(alpha_init, dtype), 0.0)
-    w_s = solve(dy, a_start)
-    q_s = solve(w_s, a_start)
-    nrm_s = jnp.linalg.norm(w_s, axis=-1)
-    wq_s = jnp.sum(w_s * q_s, axis=-1)
-    delta0 = (nrm_s * nrm_s / jnp.maximum(wq_s, EPSILON)) \
-        * (nrm_s - safe_lam) / safe_lam
-    alpha1 = jnp.maximum(a_start + delta0, 0.0)
-    phi_s = 1.0 / safe_lam - 1.0 / jnp.maximum(nrm_s, EPSILON)
-    # Interior case: alpha driven to 0 with ||w|| <= lam (the unconstrained
-    # solution is feasible; x is exactly the signal mean).
-    interior0 = (a_start <= 0) & (nrm_s <= lamv) & ~zero_pen
+        # Bootstrap: one Cholesky-form Newton step of the secular equation
+        # phi(alpha) = 1/lam - 1/||w(alpha)|| (reference more_TV2 update,
+        # src/TVL2opt.cpp:106-128) — the only double solve; the loop then
+        # runs the SECANT iteration (one solve per step), mirroring the
+        # fused MS kernel (ops/kernels/ms_fused.py).  phi is convex
+        # decreasing with phi(root) = 0, so Newton from below under-shoots
+        # and the secant also converges monotonically from below; a warm
+        # alpha may start above the root, where the (clipped) updates
+        # descend, safeguarded by the cap.
+        if alpha_init is None:
+            a_start = jnp.zeros((B,), dtype)
+        else:
+            a_start = jnp.maximum(jnp.asarray(alpha_init, dtype), 0.0)
+        w_s = solve(dy, a_start)
+        q_s = solve(w_s, a_start)
+        nrm_s = jnp.linalg.norm(w_s, axis=-1)
+        wq_s = jnp.sum(w_s * q_s, axis=-1)
+        delta0 = (nrm_s * nrm_s / jnp.maximum(wq_s, EPSILON)) \
+            * (nrm_s - safe_lam) / safe_lam
+        alpha1 = jnp.maximum(a_start + delta0, 0.0)
+        phi_s = 1.0 / safe_lam - 1.0 / jnp.maximum(nrm_s, EPSILON)
+        # Interior case: alpha driven to 0 with ||w|| <= lam (the
+        # unconstrained solution is feasible; x is exactly the mean).
+        interior0 = (a_start <= 0) & (nrm_s <= lamv) & ~zero_pen
+        it0 = jnp.zeros((B,), jnp.int32)
     conv0 = (jnp.abs(nrm_s - lamv) <= tolb) | interior0
     running0 = ~conv0 & ~zero_pen
 
@@ -184,8 +292,7 @@ def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
         return jnp.any(running) & (jnp.max(iters) < cfg.max_iters)
 
     alpha, _, _, w, interior, iters, running = jax.lax.while_loop(
-        cond, body, (alpha1, a_start, phi_s, w_s, interior0,
-                     jnp.zeros((B,), jnp.int32), running0))
+        cond, body, (alpha1, a_start, phi_s, w_s, interior0, it0, running0))
 
     x = diffs.dual2primal(w, y)
     x = jnp.where(interior[:, None], 0.0, x)  # interior: x = mean (centered)

@@ -82,3 +82,24 @@ def test_l2_long_signal_kkt(rng):
     g = x[:-1] - x[1:]                      # primal2grad
     w = np.cumsum(x - y)[:-1]               # dual implied by the primal
     np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)
+
+
+def test_l2_long_signal_spectral_path(rng):
+    """n = 16384 (2n = 2^15 is FFT-friendly, n > 8192): the DST-I spectral
+    secular path engages; its solution must satisfy the same sharp KKT
+    certificate, and must agree with the secant+PCR path at the adjacent
+    FFT-unfriendly size."""
+    from proxtv_tpu.ops.tv1d_l2 import _fft_friendly
+
+    n = 16384
+    assert _fft_friendly(2 * n) and not _fft_friendly(2 * (n + 1))
+    y = np.cumsum(rng.randn(n + 1)) * 0.05 + rng.randn(n + 1)
+    lam = 10.0
+    x, info = tv1d_l2.tv2_ms(jnp.asarray(y[:n])[None], lam)    # spectral
+    assert np.all(np.asarray(info.rc) == 0)
+    xs = np.asarray(x)[0]
+    g = xs[:-1] - xs[1:]
+    w = np.cumsum(xs - y[:n])[:-1]
+    np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)
+    x2, info2 = tv1d_l2.tv2_ms(jnp.asarray(y)[None], lam)      # secant+PCR
+    assert np.all(np.asarray(info2.rc) == 0)
