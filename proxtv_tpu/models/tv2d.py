@@ -60,21 +60,10 @@ from ..utils.info import RC_ITERS, RC_OK, make_info
 # ---------------------------------------------------------------------------
 
 # Shared trace-time kernel switch + sharding probe (ops/kernels/gating.py).
-_FusedFlag = gating.FusedFlag
+# The switch is a contextvars.ContextVar scoped per thread/trace, so
+# concurrent traces cannot race on it.
+_fused_ctx = gating.fused_ctx
 _concrete_multidevice = gating.multidevice
-
-
-import contextlib  # noqa: E402
-
-
-@contextlib.contextmanager
-def _fused_ctx(on: bool):
-    old = _FusedFlag.value
-    _FusedFlag.value = on
-    try:
-        yield
-    finally:
-        _FusedFlag.value = old
 
 
 def _fused_ok(Y2, p, method):

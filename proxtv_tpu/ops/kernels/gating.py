@@ -9,8 +9,8 @@ before it is allowed to run:
 *   shape — one fiber/line must fit the kernel's VMEM working set;
 *   sharding — a ``pallas_call`` is a single-device op, so a concretely
     multi-device operand must take the GSPMD-shardable XLA path instead
-    (combiners set :class:`FusedFlag` off while tracing sharded solves, since
-    tracers carry no sharding to inspect).
+    (combiners enter ``fused_ctx(False)`` while tracing sharded solves,
+    since tracers carry no sharding to inspect).
 
 Centralizing them here (VERDICT r2 item 9) prevents the constants from
 drifting apart as the kernels evolve; ``tests/test_kernels.py`` pins the
@@ -18,19 +18,32 @@ budget formulas' concrete tile choices.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 
+# Trace-time switch for the single-device Pallas kernels.  The public
+# combiners key their jit cache on a static ``use_fused`` argument and set
+# this context variable while tracing, so inner helpers (fiber proxes) see
+# the right value without threading a parameter through every level.
+# Disabled for multi-device (sharded) inputs: a ``pallas_call`` is a
+# single-device op and would force a gather of the sharded operand.
+# A ``contextvars.ContextVar`` (not a module global) so two user threads
+# tracing simultaneously — or a re-entrant combiner — cannot race on the
+# flag (VERDICT r3 weak item 5).
+_fused_flag = contextvars.ContextVar("proxtv_tpu_fused_flag", default=True)
 
-class FusedFlag:
-    """Trace-time switch for the single-device Pallas kernels.  The public
-    combiners key their jit cache on a static ``use_fused`` argument and set
-    this flag while tracing, so inner helpers (fiber proxes) see the right
-    value without threading a parameter through every level.  Disabled for
-    multi-device (sharded) inputs: a ``pallas_call`` is a single-device op
-    and would force a gather of the sharded operand."""
 
-    value = True
+@contextlib.contextmanager
+def fused_ctx(on: bool):
+    """Scope the fused-kernel switch to the current (thread-local) trace."""
+    token = _fused_flag.set(bool(on))
+    try:
+        yield
+    finally:
+        _fused_flag.reset(token)
 
 
 def multidevice(y) -> bool:
@@ -63,7 +76,7 @@ def gate(y, kind: str, respect_flag: bool = True) -> bool:
     if not (jax.default_backend() == "tpu" and y.dtype == jnp.float32
             and lo <= y.shape[-1] <= hi):
         return False
-    if respect_flag and not FusedFlag.value:
+    if respect_flag and not _fused_flag.get():
         return False
     return not multidevice(y)
 

@@ -64,7 +64,8 @@ def _dst1(x):
     return (-0.5 * np.sqrt(2.0 / (m + 1))) * jnp.imag(F)[..., 1:m + 1].astype(x.dtype)
 
 
-def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters):
+def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters, zero_pen,
+                      alpha_init=None):
     """Solve the More-Sorensen secular equation ||w(alpha)|| = lam entirely
     in the DST-I eigenbasis of DD': with s = DST(dy) and eigenvalues mu_k,
     ||w(alpha)||^2 = sum_k s_k^2 / (mu_k + alpha)^2 — every Newton iteration
@@ -74,9 +75,15 @@ def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters):
     leaves the real-space norm outside tolerance), the dual in real space,
     and the iteration count.
 
-    phi(alpha) = 1/lam - 1/||w(alpha)|| is convex decreasing with
-    phi(root) = 0 (More-Sorensen), so Newton from alpha = 0 converges
-    monotonically from below."""
+    ``zero_pen`` rows (lam <= 0) and rows whose constraint is inactive at
+    alpha = 0 never iterate and come back with alpha = 0 / iters = 0 (the
+    caller substitutes x = y resp. the interior solution).  ``alpha_init``
+    warm-starts the Newton iteration per row (the same Workspace-style
+    restart the real-space paths honor): phi is convex decreasing, so the
+    tangent at ANY alpha >= 0 crosses zero at or below the root — one step
+    from a warm point lands below the root and the iteration proceeds
+    monotonically from below, exactly as from cold.  The iteration budget is
+    per-row: an exhausted row freezes without blocking the others."""
     m = dy.shape[-1]
     dtype = dy.dtype
     import numpy as np
@@ -97,31 +104,42 @@ def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters):
 
     B = dy.shape[0]
     zero = jnp.zeros((B,), dtype)
-    nrm0, phi0, dphi0 = norm_phi(zero)
-    running0 = (jnp.abs(nrm0 - lamv) > tolb) & (nrm0 > lamv)
+    nrm0, _, _ = norm_phi(zero)
+    # Interior (||w(0)|| <= lam => root <= 0) and zero-penalty rows are
+    # excluded up front: their secular equation has no positive root, so
+    # Newton would chase ||w|| = lam forever against a per-row budget.
+    needs_root = (jnp.abs(nrm0 - lamv) > tolb) & (nrm0 > lamv) & ~zero_pen
+    if alpha_init is None:
+        a0 = zero
+    else:
+        a0 = jnp.where(needs_root,
+                       jnp.maximum(jnp.asarray(alpha_init, dtype), 0.0), 0.0)
+    nrm_b, phi_b, dphi_b = norm_phi(a0)
+    running0 = needs_root & (jnp.abs(nrm_b - lamv) > tolb)
 
     def body(state):
         alpha, aprev, phiprev, iters, running = state
+        act = running & (iters < max_iters)
         nrm, phi, dphi = norm_phi(alpha)
         alpha_new = jnp.maximum(alpha - phi / jnp.where(
             dphi < -EPSILON, dphi, -EPSILON), 0.0)
         conv = jnp.abs(nrm - lamv) <= tolb
-        aprev = jnp.where(running, alpha, aprev)
-        phiprev = jnp.where(running, phi, phiprev)
-        alpha = jnp.where(running & ~conv, alpha_new, alpha)
-        iters = iters + running.astype(jnp.int32)
-        running = running & ~conv
+        aprev = jnp.where(act, alpha, aprev)
+        phiprev = jnp.where(act, phi, phiprev)
+        alpha = jnp.where(act & ~conv, alpha_new, alpha)
+        iters = iters + act.astype(jnp.int32)
+        running = running & ~(act & conv)
         return alpha, aprev, phiprev, iters, running
 
     def cond(state):
         _, _, _, iters, running = state
-        return jnp.any(running) & (jnp.max(iters) < max_iters)
+        return jnp.any(running & (iters < max_iters))
 
-    alpha1 = jnp.maximum(zero - phi0 / jnp.where(dphi0 < -EPSILON, dphi0,
-                                                 -EPSILON), 0.0)
-    alpha1 = jnp.where(running0, alpha1, 0.0)
+    alpha1 = jnp.maximum(a0 - phi_b / jnp.where(dphi_b < -EPSILON, dphi_b,
+                                                -EPSILON), 0.0)
+    alpha1 = jnp.where(running0, alpha1, a0)
     alpha, aprev, phiprev, iters, _ = jax.lax.while_loop(
-        cond, body, (alpha1, zero, phi0, jnp.zeros((B,), jnp.int32),
+        cond, body, (alpha1, a0, phi_b, jnp.zeros((B,), jnp.int32),
                      running0))
     w = _dst1(s / (mu + alpha[:, None]))
     return alpha, aprev, phiprev, w, iters
@@ -235,7 +253,8 @@ def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
         # ~5x slower (measured 32.7 ms at 2,000,000 = 2^7*5^6 — which is
         # why n = 1e6 stays on the secant+PCR path).
         alpha1, a_start, phi_s, w_s, it0 = _spectral_secular(
-            dy, lamv, safe_lam, tolb, cfg.max_iters)
+            dy, lamv, safe_lam, tolb, cfg.max_iters, zero_pen,
+            alpha_init=alpha_init)
         nrm_s = jnp.linalg.norm(w_s, axis=-1)
         interior0 = (alpha1 <= 0) & (nrm_s <= lamv) & ~zero_pen
     else:
@@ -269,6 +288,11 @@ def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
 
     def body(state):
         alpha, aprev, phiprev, w, interior, iters, running = state
+        # Per-row budget: a row that exhausted cfg.max_iters freezes (and
+        # exits with RC_ITERS) without starving rows that still converge —
+        # e.g. when the spectral bootstrap above spent a mixed batch's
+        # budget unevenly.
+        act = running & (iters < cfg.max_iters)
         w_new = solve(dy, alpha)
         nrm = jnp.linalg.norm(w_new, axis=-1)
         phi = 1.0 / safe_lam - 1.0 / jnp.maximum(nrm, EPSILON)
@@ -278,18 +302,18 @@ def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
             jnp.where(jnp.abs(denom) > EPSILON, secant, alpha), 0.0)
         inter = (alpha <= 0) & (nrm <= lamv)
         conv = (jnp.abs(nrm - lamv) <= tolb) | inter
-        w = jnp.where(running[:, None], w_new, w)
-        interior = jnp.where(running, inter, interior)
-        aprev = jnp.where(running, alpha, aprev)
-        phiprev = jnp.where(running, phi, phiprev)
-        alpha = jnp.where(running & ~conv, alpha_new, alpha)
-        iters = iters + running.astype(jnp.int32)
-        running = running & ~conv
+        w = jnp.where(act[:, None], w_new, w)
+        interior = jnp.where(act, inter, interior)
+        aprev = jnp.where(act, alpha, aprev)
+        phiprev = jnp.where(act, phi, phiprev)
+        alpha = jnp.where(act & ~conv, alpha_new, alpha)
+        iters = iters + act.astype(jnp.int32)
+        running = running & ~(act & conv)
         return alpha, aprev, phiprev, w, interior, iters, running
 
     def cond(state):
         *_, iters, running = state
-        return jnp.any(running) & (jnp.max(iters) < cfg.max_iters)
+        return jnp.any(running & (iters < cfg.max_iters))
 
     alpha, _, _, w, interior, iters, running = jax.lax.while_loop(
         cond, body, (alpha1, a_start, phi_s, w_s, interior0, it0, running0))

@@ -193,7 +193,7 @@ def _fused_win_ok(Yw):
     # The window arrays are built inside this module's jit (never concretely
     # sharded), so the gate reduces to backend/dtype/shape.  respect_flag is
     # OFF: tv1_long's jit cache is keyed on shapes only, so a trace-time
-    # FusedFlag read here could be baked in under a combiner's
+    # fused-flag read here could be baked in under a combiner's
     # _fused_ctx(False) and silently served for all later calls.
     from .kernels import gating
     return gating.gate(Yw, "pn_window", respect_flag=False)

@@ -179,10 +179,12 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
         k_auto, tm_auto = _pdhg_fused_params(N, weighted=W_row is not None)
         k_steps = k_steps or k_auto
         tm = tm or tm_auto
-    elif jax.default_backend() == "tpu" and (k_steps % 4 or tm % 8):
+    if jax.default_backend() == "tpu" and (k_steps % 4 or tm % 8):
         # Mosaic slices the VMEM window at sublane offset halo = 2*k_steps,
         # which must be divisible by the (8, 128) tiling; interpret mode
-        # (tests / virtual meshes) has no such constraint.
+        # (tests / virtual meshes) has no such constraint.  Validated after
+        # the defaults are filled so a PARTIALLY explicit call (e.g.
+        # k_steps=2, tm=None) cannot slip through to crash the layout pass.
         raise ValueError(
             f"on TPU k_steps must be a multiple of 4 and tm a multiple of 8 "
             f"(got k_steps={k_steps}, tm={tm}); omit them for auto-tuning")
@@ -287,6 +289,12 @@ def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
         k_steps = k_steps or k_auto
         tl = tl or tl_auto
         tm = tm or tm_auto
+    if jax.default_backend() == "tpu" and tm % 8:
+        # The 3D kernel's M (sublane) halo is self-aligned (_halo_m rounds
+        # to the 8-row tile) and L is the untiled leading dim, so only the
+        # M tile height carries a Mosaic tiling constraint.
+        raise ValueError(f"on TPU tm must be a multiple of 8 (got tm={tm}); "
+                         f"omit it for auto-tuning")
     hl, hm = PK3._halo_l(k_steps), PK3._halo_m(k_steps)
     share = -(-L // n_dev)
     if tl > share:

