@@ -579,26 +579,54 @@ def _ratio(a, b):
     return round(a / b, 2)
 
 
-def run_parity():
+def run_parity(round_tag="r04"):
     """Regenerate PARITY_run.json (VERDICT r2 item 7): differential checks
     vs the reference C library, run as a CPU subprocess so the random
-    per-trial shapes don't trigger an axon AOT compile storm."""
+    per-trial shapes don't trigger an axon AOT compile storm.
+
+    Returns (ok, detail): ok is True/False for a completed run, None only
+    when the run could not execute — and then ``detail`` says WHY (the
+    failure is recorded in the bench JSON rather than swallowed, VERDICT r3
+    item 5).  A completed run also writes a small committed-per-round
+    summary ``PARITY_<round_tag>.json`` (n_checks, n_failed, per-family
+    maxima — the full per-check artifact stays in the gitignored
+    PARITY_run.json)."""
+    # Pre-build the reference library OUTSIDE the subprocess timeout: the
+    # r3 driver run timed out compiling 9.5 kLoC of C++ inside the parity
+    # budget and silently yielded parity_ok: null.
+    lib = _build_reference()
+    if lib is None:
+        return None, "reference library build failed (see stderr log)"
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools",
                                           "parity_vs_reference.py")],
-            env=env, capture_output=True, text=True, timeout=900)
+            env=env, capture_output=True, text=True, timeout=1800)
         log(r.stdout[-2000:], r.stderr[-2000:])
-        return r.returncode == 0
+        if r.returncode not in (0, 1):
+            return None, (f"parity subprocess crashed rc={r.returncode}: "
+                          + r.stderr[-300:].replace("\n", " "))
+    except subprocess.TimeoutExpired:
+        return None, "parity subprocess timed out (1800 s)"
     except Exception as e:  # noqa: BLE001
-        log("parity run failed:", e)
-        return None
+        return None, f"parity subprocess failed to launch: {e}"
+    try:
+        with open(os.path.join(REPO, "PARITY_run.json")) as f:
+            full = json.load(f)
+        summary = {k: full[k] for k in ("passed", "n_checks", "n_failed",
+                                        "max_deviation_by_family")}
+        with open(os.path.join(REPO, f"PARITY_{round_tag}.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        return r.returncode == 0, f"summary write failed: {e}"
+    return r.returncode == 0, (f"{summary['n_checks']} checks, "
+                               f"{summary['n_failed']} failed")
 
 
 def main():
     base = get_baseline()
-    parity_ok = run_parity()
+    parity_ok, parity_detail = run_parity()
     ours = measure_tpu(base)
     log("baseline:", base)
     log("ours:", ours)
@@ -691,6 +719,7 @@ def main():
                                                * (1 + 1e-4))),
             "objective_ok": bool(obj_ok),
             "parity_ok": parity_ok,
+            "parity_detail": parity_detail,
         },
     }))
 

@@ -53,8 +53,14 @@ _TV1_METHODS = {"classictautstring", "linearizedtautstring", "hybridtautstring",
                 "pn", "condat", "dp", "condattautstring", "kolmogorov"}
 
 
+# Methods served by the native host taut-string scan when backend='auto'.
+# 'condat' is NOT among them: since round 4 it names the independent
+# dual-variable segment-scan engine (ops.tv1d_l1.tv1_condat, reference
+# src/condat_fast_tv.cpp:78), not a taut-string alias — an explicit
+# method='condat' runs that algorithm.  'condattautstring' remains the
+# taut-string variant (reference TV1D_denoise_tautstring, :133).
 _TAUTSTRING_METHODS = {"classictautstring", "linearizedtautstring",
-                       "hybridtautstring", "condat", "condattautstring"}
+                       "hybridtautstring", "condattautstring"}
 
 
 def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,
@@ -77,10 +83,12 @@ def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,
     method) by routing to the message-passing engine whose worst case is
     O(n) with zero backtracks.
 
-    An **explicit** method is honored faithfully at every size: the named
-    engine runs even when the auto policy would pick a faster route.  Note
-    the lock-step scan/DP engines pay one sequential while-step per sample
-    on accelerators, so an explicit scan method at n >> 16384 is orders of
+    An **explicit** method is honored faithfully at every size AND on every
+    backend: the named engine runs (``strict=True`` reaches the device
+    dispatcher, so TPU f32 does not re-route it to the fused Newton kernel)
+    even when the auto policy would pick a faster route.  Note the lock-step
+    scan/DP engines pay one sequential while-step per sample on
+    accelerators, so an explicit scan method at n >> 16384 is orders of
     magnitude slower than ``method='auto'`` at an equal result (all engines
     share one exact fixed point).  ``maxbacktracks`` with an explicit
     taut-string method is a no-op bound: the batched scan engine never
@@ -122,7 +130,7 @@ def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,
         cfg = TV1Config(sigma=float(sigma))
         out, info = tv1d_l1.tv1_pn(y, float(w), cfg=cfg)
         return _ret(out, info, return_info)
-    out = tv1d_l1.tv1_batched(y, float(w), method=method)
+    out = tv1d_l1.tv1_batched(y, float(w), method=method, strict=not auto)
     # Direct (non-iterative) engines: exact to working precision, no
     # iteration count — info is (0, 0, RC_OK) by construction.
     info = SolverInfo.single(0, 0.0, dtype=out.dtype) if return_info else None

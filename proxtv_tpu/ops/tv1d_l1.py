@@ -4,7 +4,7 @@ Solves, for every signal in a batch,
 
     min_x 0.5 ||x - y||^2 + sum_i w_i |x_{i+1} - x_i|
 
-with scalar or per-edge weights.  Three independent engines are provided, each a
+with scalar or per-edge weights.  Four independent engines are provided, each a
 TPU-first redesign of a reference algorithm family:
 
 *   :func:`tv1_pn` — projected Newton on the dual box-constrained QP
@@ -30,6 +30,14 @@ TPU-first redesign of a reference algorithm family:
     worst-case.  The breakpoint deque lives in a per-lane arena; each lock-step
     iteration performs one deque operation; the backward clamping pass is a
     vectorized reverse scan.
+
+*   :func:`tv1_condat` — Condat's direct dual-variable segment scan (reference
+    ``src/condat_fast_tv.cpp:78`` ``TV1D_denoise``, SPL 2013): a genuinely
+    distinct published algorithm that tracks the running dual variable's
+    min/max excursions (umin/umax) and candidate segment values (vmin/vmax)
+    instead of a taut-string tube or DP messages.  Lock-step, one reference
+    loop event per ``while_loop`` iteration, segment records scattered at
+    their start index and materialized by a forward fill.
 
 All engines accept signals of shape (B, n) and weights either scalar, (B,), or
 per-edge (B, n-1).  Exactness contract: engines agree with each other and with a
@@ -445,6 +453,159 @@ def tv1_tautstring(y, lam):
 
 
 # ---------------------------------------------------------------------------
+# Engine 2b: Condat's direct dual-variable segment scan (lock-step)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def tv1_condat(y, lam):
+    """Batched Condat direct TV-L1 prox (unweighted; exact).
+
+    Lock-step reformulation of Condat's dual-variable algorithm (reference
+    ``src/condat_fast_tv.cpp:78`` ``TV1D_denoise``; L. Condat, "A Direct
+    Algorithm for 1-D Total Variation Denoising", IEEE SPL 2013).  The state
+    per lane is the running dual excursions ``umin``/``umax`` (the dual
+    variable's distance from its +-lam bounds accumulated since the current
+    segment start ``k0``), the candidate segment values ``vmin``/``vmax``,
+    and the last positions ``kminus``/``kplus`` where each bound was hit —
+    an INDEPENDENT algorithm family from the taut-string tube scan and the
+    DP message recursion (it reasons about the dual u, not the primal tube),
+    giving the cross-method metamorphic tests a fourth engine.
+
+    Each ``while_loop`` iteration executes exactly one event of the
+    reference's loop: a sample accumulation (possibly updating vmin/vmax), a
+    negative/positive jump (segment emission + state reset), or a boundary
+    event at k = n-1.  Emitted segments are scattered as (start-index,
+    value) records; the solution is materialized afterwards by a forward
+    fill.  Work is O(n) amortized per lane, exactly like the reference.
+
+    ``lam``: scalar or (B,) per-signal penalties (the reference algorithm is
+    unweighted; per-edge weights raise — use the taut-string/PN/DP engines).
+    """
+    y = jnp.asarray(y)
+    B, n = y.shape
+    dtype = y.dtype
+
+    if n == 1:
+        return y
+
+    lam = jnp.asarray(lam, dtype)
+    if lam.ndim >= 2 or (lam.ndim == 1 and lam.shape[0] == n - 1 and B != n - 1):
+        raise ValueError("tv1_condat is unweighted: lam must be scalar or "
+                         "(B,) per-signal (reference TV1D_denoise takes one "
+                         "lambda, src/condat_fast_tv.cpp:78)")
+    lamv = jnp.broadcast_to(lam, (B,))
+    rows = jnp.arange(B)
+
+    def gy(idx):
+        return jnp.take_along_axis(y, jnp.clip(idx, 0, n - 1)[:, None],
+                                   axis=1)[:, 0]
+
+    def body(state):
+        (k, k0, kminus, kplus, vmin, vmax, umin, umax,
+         done, seg_val, seg_mark) = state
+        boundary = (k == n - 1) & ~done
+        main = ~boundary & ~done
+
+        # ----- main-loop events (reference :100-118) -----
+        ynext = gy(k + 1)
+        umin1 = umin + ynext - vmin   # accumulated first, as in the reference
+        umax1 = umax + ynext - vmax
+        neg = main & (umin1 < -lamv)
+        pos = main & ~neg & (umax1 > lamv)
+        nojump = main & ~neg & ~pos
+
+        # negative jump: emit [k0, kminus] = vmin, restart after kminus.
+        k0_n = kminus + 1
+        y_n = gy(k0_n)
+        # positive jump: emit [k0, kplus] = vmax, restart after kplus.
+        k0_p = kplus + 1
+        y_p = gy(k0_p)
+
+        # no jump: advance k, then bound updates (reference :110-118).
+        k_adv = k + 1
+        denom = (k_adv - k0 + 1).astype(dtype)
+        hit_lo = nojump & (umin1 >= lamv)
+        vmin_adv = jnp.where(hit_lo, vmin + (umin1 - lamv) / denom, vmin)
+        umin_adv = jnp.where(hit_lo, lamv, umin1)
+        kminus_adv = jnp.where(hit_lo, k_adv, kminus)
+        hit_hi = nojump & (umax1 <= -lamv)
+        vmax_adv = jnp.where(hit_hi, vmax + (umax1 + lamv) / denom, vmax)
+        umax_adv = jnp.where(hit_hi, -lamv, umax1)
+        kplus_adv = jnp.where(hit_hi, k_adv, kplus)
+
+        # ----- boundary events at k = n-1 (reference :88-99) -----
+        b_neg = boundary & (umin < 0)
+        b_pos = boundary & ~b_neg & (umax > 0)
+        b_term = boundary & ~b_neg & ~b_pos
+        # b_neg: emit [k0, kminus] = vmin; k = k0 = kminus+1; vmin = y[k];
+        # umin = lam; umax = y[k] + lam - vmax (vmax/kplus carry over).
+        ub_neg = y_n + lamv - vmax
+        # b_pos: emit [k0, kplus] = vmax; symmetric carry-over of vmin/kminus.
+        ub_pos = y_p - lamv - vmin
+        # b_term: emit [k0, n-1] = vmin + umin/(k - k0 + 1); done.
+        v_term = vmin + umin / (k - k0 + 1).astype(dtype)
+
+        # ----- merge -----
+        k_next = jnp.where(neg, k0_n, jnp.where(pos, k0_p,
+                  jnp.where(nojump, k_adv,
+                  jnp.where(b_neg, k0_n, jnp.where(b_pos, k0_p, k)))))
+        k0_next = jnp.where(neg | b_neg, k0_n,
+                   jnp.where(pos | b_pos, k0_p, k0))
+        kminus_next = jnp.where(neg | b_neg, k0_n,
+                       jnp.where(pos, k0_p, kminus_adv))
+        kplus_next = jnp.where(neg, k0_n,
+                      jnp.where(pos | b_pos, k0_p, kplus_adv))
+        vmin_next = jnp.where(neg | b_neg, y_n,
+                     jnp.where(pos, y_p - 2.0 * lamv, vmin_adv))
+        vmax_next = jnp.where(neg, y_n + 2.0 * lamv,
+                     jnp.where(pos | b_pos, y_p, vmax_adv))
+        umin_next = jnp.where(neg | pos | b_neg, lamv,
+                     jnp.where(b_pos, ub_pos, umin_adv))
+        umax_next = jnp.where(neg | pos, -lamv,
+                     jnp.where(b_neg, ub_neg,
+                     jnp.where(b_pos, -lamv, umax_adv)))
+        done_next = done | b_term
+
+        # ----- segment record (one scatter at the segment START k0) -----
+        emit = neg | pos | b_neg | b_pos | b_term
+        rec_val = jnp.where(neg | b_neg, vmin,
+                   jnp.where(pos | b_pos, vmax, v_term))
+        col = jnp.where(emit, k0, n)  # garbage column n for no-ops
+        seg_val = seg_val.at[rows, col].set(rec_val)
+        seg_mark = seg_mark.at[rows, col].set(True)
+
+        return (k_next, k0_next, kminus_next, kplus_next, vmin_next,
+                vmax_next, umin_next, umax_next, done_next, seg_val, seg_mark)
+
+    def cond(state):
+        done = state[8]
+        return jnp.any(~done)
+
+    init = (
+        jnp.zeros((B,), jnp.int32),       # k
+        jnp.zeros((B,), jnp.int32),       # k0
+        jnp.zeros((B,), jnp.int32),       # kminus
+        jnp.zeros((B,), jnp.int32),       # kplus
+        y[:, 0] - lamv,                   # vmin
+        y[:, 0] + lamv,                   # vmax
+        lamv,                             # umin
+        -lamv,                            # umax
+        jnp.zeros((B,), bool),            # done
+        jnp.zeros((B, n + 1), dtype),     # seg_val (garbage col n)
+        jnp.zeros((B, n + 1), bool),      # seg_mark
+    )
+    *_, seg_val, seg_mark = jax.lax.while_loop(cond, body, init)
+
+    # Reconstruct: x[j] = value of the nearest recorded segment START <= j.
+    idx = jnp.where(seg_mark[:, :n], jnp.arange(n)[None, :], 0)
+    prev = jax.lax.associative_scan(jnp.maximum, idx, axis=1)
+    x = jnp.take_along_axis(seg_val[:, :n], prev, axis=-1)
+    lam_e = jnp.broadcast_to(lamv[:, None], (B, n - 1))
+    return _apply_degenerate_guards(x, y, lam_e)
+
+
+# ---------------------------------------------------------------------------
 # Engine 3: Kolmogorov/Johnson message-passing DP (lock-step, O(n) worst case)
 # ---------------------------------------------------------------------------
 
@@ -674,17 +835,30 @@ def tv1_dp(y, lam):
 
 
 def tv1_batched(y, lam, method: str = "hybridtautstring",
-                cfg: TV1Config = DEFAULT_TV1):
+                cfg: TV1Config = DEFAULT_TV1, strict: bool = False):
     """Batched 1D TV-L1 prox with reference-compatible method names.
 
-    ``classictautstring``/``condattautstring`` map to the exact lock-step scan
-    engine; ``condat``/``linearizedtautstring``/``hybridtautstring`` likewise
-    (Condat's method and the linearized taut string are the same algorithm —
-    reference ``src/TVL1opt.cpp:352-353``); ``dp``/``kolmogorov`` map to the
-    message-passing engine; ``pn`` to the batched projected Newton.  All are
-    exact to solver tolerance, so the hybrid's CPU-specific backtrack-count
-    switching heuristic is unnecessary on TPU: the scan engine is already the
-    batched method of choice and the DP engine gives the O(n) worst case.
+    ``classictautstring``/``condattautstring``/``tautstring`` map to the
+    exact lock-step taut-string scan engine; ``linearizedtautstring``/
+    ``hybridtautstring`` likewise (the linearized taut string is the same
+    fixed point and scan structure); ``condat`` to the lock-step Condat
+    dual-variable engine (:func:`tv1_condat` — an independent algorithm,
+    reference ``src/condat_fast_tv.cpp:78``); ``dp``/``kolmogorov``/
+    ``johnson`` to the message-passing engine; ``pn`` to the batched
+    projected Newton.  All are exact to solver tolerance.
+
+    **Routing policy** (``strict``): with ``strict=False`` (the default used
+    by the auto policy and the 2D/ND combiners) every method routes to the
+    fused PN kernel on single-device TPU f32 — all engines share one exact
+    fixed point (the reference's tests assert cross-method equality,
+    prox_tv_test.py:37-62), and the event-driven scan/DP engines pay one
+    sequential lock-step per sample on an accelerator, orders of magnitude
+    slower than the VMEM-resident Newton (their (B, n) while_loops also
+    compile pathologically on the TPU backend at bench sizes).  This is the
+    TPU analog of the reference's own hybrid method switching.  With
+    ``strict=True`` (set by :func:`proxtv_tpu.api.tv1_1d` for an *explicit*
+    method string) the NAMED engine always runs, at its documented cost —
+    the scan/DP engines are the exact implementations on every backend.
     """
     from .kernels import gating
 
@@ -692,20 +866,14 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     y = jnp.asarray(y)
     B, n = y.shape
     fused_ok = gating.gate(y, "pn")
-    scan_methods = {"classictautstring", "linearizedtautstring", "hybridtautstring",
-                    "condat", "condattautstring", "tautstring"}
+    scan_methods = {"classictautstring", "linearizedtautstring",
+                    "hybridtautstring", "condattautstring", "tautstring"}
+    if method == "condat":
+        if strict or not fused_ok:
+            return tv1_condat(y, lam)
+        method = "pn"
     if method in scan_methods or method in ("dp", "kolmogorov", "johnson"):
-        # On single-device TPU f32, every method routes to the fused PN
-        # kernel: all engines share one exact fixed point (the reference's
-        # tests assert cross-method equality, prox_tv_test.py:37-62) and the
-        # event-driven scan/DP engines gather per lock-step iteration —
-        # orders of magnitude slower on TPU than the VMEM-resident Newton
-        # (and their (B, n) while_loops compile pathologically on the TPU
-        # backend at bench sizes).  This is the TPU analog of the
-        # reference's own hybrid method switching.  The scan/DP engines
-        # remain the exact implementations everywhere else (CPU, f64,
-        # sharded), directly callable as tv1_tautstring / tv1_dp.
-        if not fused_ok:
+        if strict or not fused_ok:
             if method in scan_methods:
                 return tv1_tautstring(y, lam)
             return tv1_dp(y, lam)

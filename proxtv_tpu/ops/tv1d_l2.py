@@ -64,8 +64,69 @@ def _dst1(x):
     return (-0.5 * np.sqrt(2.0 / (m + 1))) * jnp.imag(F)[..., 1:m + 1].astype(x.dtype)
 
 
+def _smooth23(L: int) -> int:
+    """Smallest 2-3-smooth integer >= L (TPU FFT sizes; radix-5-heavy sizes
+    run ~5x slower, measured — see :func:`_fft_friendly`)."""
+    best = 1
+    while best < L:
+        best *= 2
+    t = 3
+    while t < best:
+        c = t
+        while c < L:
+            c *= 2
+        best = min(best, c)
+        t *= 3
+    return best
+
+
+@functools.lru_cache(maxsize=8)
+def _chirp_consts(m: int, is64: bool):
+    """Host-precomputed chirp-z constants for an arbitrary-length DST-I
+    (Bluestein): phase tables and the FFT of the chirp kernel, exact in
+    integer arithmetic (j^2 reduced mod 4(m+1), the chirp's phase period)
+    so f32 runs keep full phase accuracy at j ~ 1e6.  Computed once per
+    (length, dtype) at trace time; baked into the jit graph as constants."""
+    import numpy as np
+    M = m + 1
+    alpha = np.pi / (2.0 * M)
+    j = np.arange(1, m + 1, dtype=np.int64)
+    wj = np.exp(1j * alpha * ((j * j) % (4 * M)))          # e^{i a j^2}
+    u = np.arange(2 * m - 1, dtype=np.int64) - (m - 1)
+    q = np.exp(-1j * alpha * ((u * u) % (4 * M)))          # e^{-i a t^2}
+    L = _smooth23(2 * m - 1)
+    qhat = np.fft.fft(q, n=L)
+    scale = np.sqrt(2.0 / M)
+    cdt = np.complex128 if is64 else np.complex64
+    return (wj.astype(cdt), qhat.astype(cdt), L, scale)
+
+
+def _dst1_chirp(x):
+    """Orthonormal DST-I along the last axis at ARBITRARY length via the
+    chirp-z (Bluestein) identity jk = (j^2 + k^2 - (k-j)^2)/2:
+
+        DST1(x)_k = Im[ e^{i a k^2} sum_j (x_j e^{i a j^2}) e^{-i a (k-j)^2} ],
+
+    a = pi/(2(m+1)) — a linear convolution with the fixed chirp kernel,
+    evaluated with two same-size FFTs at the nearest 2-3-smooth length
+    >= 2m-1 (the kernel's FFT is a host-precomputed constant).  This makes
+    EVERY length FFT-friendly: the TPU backend's mixed-radix FFT degrades
+    ~5x on radix-5-heavy sizes (e.g. 2(m+1) = 2,000,000 = 2^7*5^6), while
+    the chirp route runs the same problem on 2^21-point transforms."""
+    m = x.shape[-1]
+    is64 = x.dtype == jnp.float64
+    wj, qhat, L, scale = _chirp_consts(m, is64)
+    a = x * jnp.real(wj) + 1j * (x * jnp.imag(wj))
+    A = jnp.fft.fft(a, n=L, axis=-1)
+    conv = jnp.fft.ifft(A * qhat, axis=-1)[..., m - 1: 2 * m - 1]
+    # S'_k sits at conv index k-1 (correlation offset m-1); multiply by the
+    # output chirp e^{i a k^2} — identical to wj since k ranges 1..m too.
+    s = jnp.imag(conv) * jnp.real(wj) + jnp.real(conv) * jnp.imag(wj)
+    return (scale * s).astype(x.dtype)
+
+
 def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters, zero_pen,
-                      alpha_init=None):
+                      alpha_init=None, dst=None, return_w=True):
     """Solve the More-Sorensen secular equation ||w(alpha)|| = lam entirely
     in the DST-I eigenbasis of DD': with s = DST(dy) and eigenvalues mu_k,
     ||w(alpha)||^2 = sum_k s_k^2 / (mu_k + alpha)^2 — every Newton iteration
@@ -89,7 +150,9 @@ def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters, zero_pen,
     import numpy as np
     theta = (jnp.arange(1, m + 1, dtype=dtype) * (np.pi / (m + 1)))
     mu = 4.0 * jnp.sin(0.5 * theta) ** 2
-    s = _dst1(dy)
+    if dst is None:
+        dst = _dst1
+    s = dst(dy)
     s2 = s * s
 
     def norm_phi(alpha):
@@ -141,7 +204,10 @@ def _spectral_secular(dy, lamv, safe_lam, tolb, max_iters, zero_pen,
     alpha, aprev, phiprev, iters, _ = jax.lax.while_loop(
         cond, body, (alpha1, a0, phi_b, jnp.zeros((B,), jnp.int32),
                      running0))
-    w = _dst1(s / (mu + alpha[:, None]))
+    # The dual in real space: the inverse DST (involutory) — or None when
+    # the caller recovers w with one exact tridiagonal solve at the root
+    # instead (cheaper and more accurate than a chirp-z back transform).
+    w = dst(s / (mu + alpha[:, None])) if return_w else None
     return alpha, aprev, phiprev, w, iters
 
 
@@ -241,20 +307,25 @@ def _tv2_ms_xla(y, lam, cfg: TV2Config = DEFAULT_TV2, alpha_init=None,
         return tridiag.spd_second_difference_solve(
             rhs, diag_shift=alpha[:, None])
 
-    if n > 8192 and _fft_friendly(2 * n):
-        # Large FFT-friendly fibers: solve the secular equation ENTIRELY in
-        # the DST-I eigenbasis of DD' — every Newton iteration is
-        # elementwise, no tridiagonal solves; total cost = 2 FFTs vs ~9
-        # tridiagonal solves (~1.65 ms each at n ~ 1e6 on a v5e).  The
-        # secant loop below then runs only if FFT rounding left the
-        # real-space norm outside tolerance (it is seeded with the spectral
-        # iterate pair).  Gated on the transform length's smoothness: the
-        # TPU FFT runs 2-smooth sizes at ~3-7 ms/2M but radix-5-heavy ones
-        # ~5x slower (measured 32.7 ms at 2,000,000 = 2^7*5^6 — which is
-        # why n = 1e6 stays on the secant+PCR path).
+    if n > 8192:
+        # Large fibers: solve the secular equation ENTIRELY in the DST-I
+        # eigenbasis of DD' — every Newton iteration is elementwise, no
+        # tridiagonal solves.  FFT-friendly lengths (2n 5-smooth) use the
+        # direct odd-extension rfft both ways (2 FFTs total); EVERY OTHER
+        # length goes through the chirp-z (Bluestein) DST (2 same-size
+        # 2-3-smooth FFTs for the forward transform) and recovers the dual
+        # with ONE exact tridiagonal solve at the root instead of a back
+        # transform — vs ~9 solves (~1.65 ms each at n ~ 1e6 on a v5e) for
+        # the pure secant path it replaces.  The secant loop below then
+        # runs only if FFT rounding left the real-space norm outside
+        # tolerance (it is seeded with the spectral iterate pair).
+        friendly = _fft_friendly(2 * n)
         alpha1, a_start, phi_s, w_s, it0 = _spectral_secular(
             dy, lamv, safe_lam, tolb, cfg.max_iters, zero_pen,
-            alpha_init=alpha_init)
+            alpha_init=alpha_init, dst=_dst1 if friendly else _dst1_chirp,
+            return_w=friendly)
+        if w_s is None:
+            w_s = solve(dy, alpha1)
         nrm_s = jnp.linalg.norm(w_s, axis=-1)
         interior0 = (alpha1 <= 0) & (nrm_s <= lamv) & ~zero_pen
     else:

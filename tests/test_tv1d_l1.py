@@ -131,14 +131,96 @@ def test_zero_weight_edges(engine, rng):
 
 def test_all_methods_agree_batched(rng):
     """Reference _test_tv1_methods: all methods agree within 1e-3 on random
-    signals (prox_tv_test.py:55-62), here in one batched call."""
+    signals (prox_tv_test.py:55-62), here in one batched call.  strict=True
+    guarantees each named engine actually runs (scan, Condat dual scan, DP,
+    PN — four independent algorithm families)."""
     B, n = 20, 24
     y = jnp.asarray(rng.randn(B, n) * 2)
     lam = 0.75
-    sols = {m: np.asarray(tv1d_l1.tv1_batched(y, lam, method=m)) for m in METHODS}
+    sols = {m: np.asarray(tv1d_l1.tv1_batched(y, lam, method=m, strict=True))
+            for m in METHODS}
     base = sols["hybridtautstring"]
     for m, s in sols.items():
         np.testing.assert_allclose(s, base, atol=1e-3, err_msg=m)
+
+
+def test_condat_engine_matches_oracle(rng):
+    """The Condat dual-variable engine (independent algorithm family,
+    src/condat_fast_tv.cpp:78) against the exact oracle, incl. tiny sizes."""
+    for n in SIZES:
+        B = 8
+        Y = rng.randn(B, n) * 2
+        lam = float(rng.rand() + 0.1)
+        X = np.asarray(tv1d_l1.tv1_condat(jnp.asarray(Y), lam))
+        for k in range(B):
+            ref = oracles.tv1_oracle(Y[k], lam)
+            np.testing.assert_allclose(X[k], ref, atol=1e-6, err_msg=f"n={n}")
+
+
+def test_condat_engine_per_lane_lam_and_degenerate(rng):
+    B, n = 6, 200
+    Y = rng.randn(B, n)
+    lams = jnp.asarray(np.concatenate([[0.0], 0.1 + rng.rand(B - 1) * 3]))
+    X = np.asarray(tv1d_l1.tv1_condat(jnp.asarray(Y), lams))
+    np.testing.assert_allclose(X[0], Y[0], atol=0)  # lam = 0: identity
+    Xt = np.asarray(tv1d_l1.tv1_tautstring(
+        jnp.asarray(Y), jnp.broadcast_to(lams[:, None], (B, n - 1))))
+    np.testing.assert_allclose(X, Xt, atol=1e-10)
+    with pytest.raises(ValueError):  # per-edge weights: unweighted algorithm
+        tv1d_l1.tv1_condat(jnp.asarray(Y[:1]), jnp.ones((1, n - 1)))
+
+
+def test_tv1_batched_routing_contract(rng, monkeypatch):
+    """VERDICT r3 item 3: pin which engine runs for every (method, strict,
+    gate) combination.  gating.gate is monkeypatched to simulate the
+    single-device-TPU-f32 gate without hardware; the engines are stubbed
+    with recorders."""
+    from proxtv_tpu.ops.kernels import gating, pn_fused
+
+    y = jnp.asarray(rng.randn(2, 16))
+    calls = []
+
+    def rec(name, ret):
+        def f(*a, **k):
+            calls.append(name)
+            return ret
+        return f
+
+    monkeypatch.setattr(tv1d_l1, "tv1_tautstring", rec("scan", y))
+    monkeypatch.setattr(tv1d_l1, "tv1_dp", rec("dp", y))
+    monkeypatch.setattr(tv1d_l1, "tv1_condat", rec("condat", y))
+    monkeypatch.setattr(tv1d_l1, "tv1_pn", rec("pn", (y, None)))
+    monkeypatch.setattr(pn_fused, "pn_tv1_fused", rec("pn_fused", (y, None)))
+
+    def run(method, strict, gate_open):
+        calls.clear()
+        monkeypatch.setattr(gating, "gate", lambda *a, **k: gate_open)
+        tv1d_l1.tv1_batched(y, 0.5, method=method, strict=strict)
+        assert len(calls) == 1, (method, strict, gate_open, calls)
+        return calls[0]
+
+    # Gate open (single-device TPU f32): auto policy coerces to the fused
+    # PN kernel; strict honors the named engine.
+    for m in ["hybridtautstring", "classictautstring", "condattautstring",
+              "linearizedtautstring", "tautstring"]:
+        assert run(m, strict=False, gate_open=True) == "pn_fused"
+        assert run(m, strict=True, gate_open=True) == "scan"
+    for m in ["dp", "kolmogorov", "johnson"]:
+        assert run(m, strict=False, gate_open=True) == "pn_fused"
+        assert run(m, strict=True, gate_open=True) == "dp"
+    assert run("condat", strict=False, gate_open=True) == "pn_fused"
+    assert run("condat", strict=True, gate_open=True) == "condat"
+    # 'pn' IS the fused kernel's algorithm: fused either way when gated.
+    assert run("pn", strict=False, gate_open=True) == "pn_fused"
+    assert run("pn", strict=True, gate_open=True) == "pn_fused"
+
+    # Gate closed (CPU / f64 / sharded / long fibers): the named engine
+    # family runs regardless of strict.
+    for strict in (False, True):
+        assert run("hybridtautstring", strict, gate_open=False) == "scan"
+        assert run("dp", strict, gate_open=False) == "dp"
+        assert run("condat", strict, gate_open=False) == "condat"
+        assert run("pn", strict, gate_open=False) == "pn"
 
 
 def test_uniform_weights_equals_unweighted(rng):

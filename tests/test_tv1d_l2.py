@@ -85,24 +85,58 @@ def test_l2_long_signal_kkt(rng):
 
 
 def test_l2_long_signal_spectral_path(rng):
-    """n = 16384 (2n = 2^15 is FFT-friendly, n > 8192): the DST-I spectral
-    secular path engages; its solution must satisfy the same sharp KKT
-    certificate, and must agree with the secant+PCR path at the adjacent
-    FFT-unfriendly size."""
+    """n = 16384 (2n = 2^15 is FFT-friendly, n > 8192): the direct DST-I
+    spectral secular path engages; its solution must satisfy the same sharp
+    KKT certificate, and must agree with the chirp-z spectral path at the
+    adjacent FFT-unfriendly size (which uses the Bluestein DST + one exact
+    PCR back-solve)."""
     from proxtv_tpu.ops.tv1d_l2 import _fft_friendly
 
     n = 16384
     assert _fft_friendly(2 * n) and not _fft_friendly(2 * (n + 1))
     y = np.cumsum(rng.randn(n + 1)) * 0.05 + rng.randn(n + 1)
     lam = 10.0
-    x, info = tv1d_l2.tv2_ms(jnp.asarray(y[:n])[None], lam)    # spectral
+    x, info = tv1d_l2.tv2_ms(jnp.asarray(y[:n])[None], lam)    # direct DST
     assert np.all(np.asarray(info.rc) == 0)
     xs = np.asarray(x)[0]
     g = xs[:-1] - xs[1:]
     w = np.cumsum(xs - y[:n])[:-1]
     np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)
-    x2, info2 = tv1d_l2.tv2_ms(jnp.asarray(y)[None], lam)      # secant+PCR
+    x2, info2 = tv1d_l2.tv2_ms(jnp.asarray(y)[None], lam)      # chirp-z DST
     assert np.all(np.asarray(info2.rc) == 0)
+    xs2 = np.asarray(x2)[0]
+    g2 = xs2[:-1] - xs2[1:]
+    w2 = np.cumsum(xs2 - y)[:-1]
+    np.testing.assert_allclose(w2, -lam * g2 / np.linalg.norm(g2), atol=1e-6)
+
+
+def test_dst1_chirp_matches_direct(rng):
+    """The Bluestein/chirp-z DST-I equals the odd-extension-rfft DST-I at
+    FFT-friendly lengths (where both are defined) and is an involution at
+    arbitrary (prime) lengths."""
+    from proxtv_tpu.ops.tv1d_l2 import _dst1, _dst1_chirp
+
+    for m in [5, 64, 1000, 4095]:
+        x = jnp.asarray(rng.randn(2, m))
+        np.testing.assert_allclose(np.asarray(_dst1_chirp(x)),
+                                   np.asarray(_dst1(x)), atol=1e-12)
+    x = jnp.asarray(rng.randn(1, 10007))  # prime length
+    np.testing.assert_allclose(np.asarray(_dst1_chirp(_dst1_chirp(x))),
+                               np.asarray(x), atol=1e-12)
+
+
+def test_l2_spectral_chirp_nonfriendly_prime(rng):
+    """A prime-ish n > 8192 (no FFT-friendly structure at all) solves via
+    the chirp-z spectral path with the sharp KKT certificate."""
+    n = 10007
+    y = np.cumsum(rng.randn(n)) * 0.05 + rng.randn(n)
+    lam = 8.0
+    x, info = tv1d_l2.tv2_ms(jnp.asarray(y)[None], lam)
+    assert np.all(np.asarray(info.rc) == 0)
+    xs = np.asarray(x)[0]
+    g = xs[:-1] - xs[1:]
+    w = np.cumsum(xs - y)[:-1]
+    np.testing.assert_allclose(w, -lam * g / np.linalg.norm(g), atol=1e-6)
 
 
 def test_spectral_mixed_zero_lam_budget(rng):

@@ -53,6 +53,8 @@ def main(out_path=None):
     pd = ctypes.POINTER(ctypes.c_double)
     lib.hybridTautString_TV1.restype = None
     lib.hybridTautString_TV1.argtypes = [pd, ctypes.c_int, ctypes.c_double, pd]
+    lib.TV1D_denoise.restype = None
+    lib.TV1D_denoise.argtypes = [pd, pd, ctypes.c_int, ctypes.c_double]
     lib.tautString_TV1_Weighted.restype = ctypes.c_int
     lib.tautString_TV1_Weighted.argtypes = [pd, pd, pd, ctypes.c_int]
     lib.morePG_TV2.restype = ctypes.c_int
@@ -98,6 +100,17 @@ def main(out_path=None):
                    f"maxdiff={np.abs(xo-xr).max():.2e}",
                    maxdiff=np.abs(xo - xr).max(), obj_ours=obj1(xo, y, lam),
                    obj_ref=obj1(xr, y, lam))
+        # Engine-vs-engine: our lock-step Condat dual-variable scan against
+        # the reference's own TV1D_denoise (the vendored Condat code,
+        # src/condat_fast_tv.cpp:78) — same algorithm family on both sides.
+        xc = np.zeros(n)
+        lib.TV1D_denoise(y.ctypes.data_as(pd), xc.ctypes.data_as(pd), n, lam)
+        from proxtv_tpu.ops import tv1d_l1
+        xoc = np.asarray(tv1d_l1.tv1_condat(y[None], lam))[0]
+        report(f"tv1_condat_vs_TV1D_denoise n={n}",
+               np.abs(xoc - xc).max() < 1e-3,
+               f"maxdiff={np.abs(xoc-xc).max():.2e}",
+               maxdiff=np.abs(xoc - xc).max())
 
     # --- weighted 1D ---
     for trial in range(2):
