@@ -47,7 +47,9 @@ BASE_KEYS = ["ref_2d_mpx_s", "ref_2d_obj", "ref_2d4k_mpx_s", "ref_2d4k_obj",
              "ref_2dw_mpx_s",
              "ref_2dw_obj", "ref_3d_mpx_s", "ref_3d_obj", "ref_long1d_ms",
              "ref_long1d_stream_ms", "ref_long_l2_ms", "ref_long_l2_obj",
-             "ref_long_lp_ms", "ref_long_lp_obj", "ref_threads"]
+             "ref_long_lp_ms", "ref_long_lp_obj", "ref_long1d_1e7_ms",
+             "ref_long1d_1e7_obj", "ref_threads"]
+NLONG7 = 10_000_000          # banded long-1D row (VERDICT r3 item 1)
 
 
 def log(*a):
@@ -297,6 +299,20 @@ def measure_reference():
         lib.hybridTautString_TV1(P(ylong), NLONG, LAM1, P(xlong))
     out["ref_long1d_ms"] = (time.time() - t0) / 3 * 1e3
 
+    # ---- n = 1e7 single signal (the banded-path comparator) ----
+    ylong7 = np.ascontiguousarray(np.cumsum(rng.randn(NLONG7)) * 0.05
+                                  + rng.randn(NLONG7))
+    xlong7 = np.zeros_like(ylong7)
+    lib.hybridTautString_TV1(P(ylong7), NLONG7, LAM1, P(xlong7))  # warm
+    t0 = time.time()
+    for _ in range(2):
+        lib.hybridTautString_TV1(P(ylong7), NLONG7, LAM1, P(xlong7))
+    out["ref_long1d_1e7_ms"] = (time.time() - t0) / 2 * 1e3
+    out["ref_long1d_1e7_obj"] = float(
+        0.5 * ((xlong7 - ylong7) ** 2).sum()
+        + LAM1 * np.abs(np.diff(xlong7)).sum())
+    del ylong7, xlong7
+
     # ---- streaming long signals (sustained rate: one scan per core) ----
     Ylong = np.ascontiguousarray(np.cumsum(rng.randn(SLONG, NLONG), axis=1)
                                  * 0.05 + rng.randn(SLONG, NLONG))
@@ -541,6 +557,31 @@ def measure_tpu(base):
     obj_long_lp = float(0.5 * ((x_lpl - yl64) ** 2).sum()
                         + LAMLONG * np.linalg.norm(np.diff(x_lpl), 1.5))
 
+    # Banded long-1D at n = 1e7: ONE signal through the mesh-spanning
+    # machinery (D = 1 mesh on the single bench chip — measures the banded
+    # window/halo/certificate path at 10x the single-device headline size;
+    # the cross-device collective structure is validated on the virtual
+    # mesh by tests/test_banded.py and the driver dryrun).
+    t_long7 = None
+    obj_long7 = None
+    ylong7_np = (np.cumsum(rng.randn(NLONG7)) * 0.05
+                 + rng.randn(NLONG7)).astype(np.float32)
+    if jax.default_backend() == "tpu":
+        from proxtv_tpu.parallel import sharded as psharded
+        mesh1 = psharded.make_mesh(1)
+        ylong7 = jnp.asarray(ylong7_np)
+
+        def fband7():
+            return psharded.tv1_1d_banded(ylong7, LAM1, mesh1)[0]
+
+        t_long7 = timed(fband7)
+        x7 = np.asarray(fband7(), np.float64)
+        y7 = np.asarray(ylong7_np, np.float64)
+        obj_long7 = float(0.5 * ((x7 - y7) ** 2).sum()
+                          + LAM1 * np.abs(np.diff(x7)).sum())
+        del x7, y7
+    del ylong7_np
+
     # Sustained rate on a stream of long signals: all SLONG signals' windows
     # run as ONE fused kernel batch (the TPU analog of one scan per core).
     Ylong = jnp.asarray((np.cumsum(rng.randn(SLONG, NLONG), axis=1) * 0.05
@@ -565,6 +606,8 @@ def measure_tpu(base):
         "tpu_3d_mpx_s": L3 * M3 * N3 / 1e6 / t_3d,
         "tpu_3d_obj": obj_3d,
         "tpu_long1d_ms": t_long * 1e3,
+        "tpu_long1d_1e7_ms": t_long7 * 1e3 if t_long7 else None,
+        "tpu_long1d_1e7_obj": obj_long7,
         "tpu_long1d_stream_ms": t_long_stream * 1e3,
         "tpu_long_l2_ms": t_long_l2 * 1e3,
         "tpu_long_l2_obj": obj_long_l2,
@@ -696,6 +739,16 @@ def main():
             "ref_long1d_ms": (round(base["ref_long1d_ms"], 2)
                               if base.get("ref_long1d_ms") else None),
             "vs_baseline_long1d": _ratio(base.get("ref_long1d_ms"), long_ms),
+            "tpu_long1d_1e7_banded_ms": (
+                round(ours["tpu_long1d_1e7_ms"], 2)
+                if ours.get("tpu_long1d_1e7_ms") else None),
+            "vs_baseline_long1d_1e7": _ratio(base.get("ref_long1d_1e7_ms"),
+                                             ours.get("tpu_long1d_1e7_ms")),
+            "objective_long1d_1e7_ok": (
+                None if (ours.get("tpu_long1d_1e7_obj") is None
+                         or not base.get("ref_long1d_1e7_obj"))
+                else bool(ours["tpu_long1d_1e7_obj"] <=
+                          base["ref_long1d_1e7_obj"] * (1 + 1e-4))),
             "tpu_long1d_stream_ms": round(ours["tpu_long1d_stream_ms"], 2),
             "ref_long1d_stream_ms": (round(base["ref_long1d_stream_ms"], 2)
                                      if base.get("ref_long1d_stream_ms")

@@ -5,6 +5,7 @@ from .sharded import (  # noqa: F401
     tv2_1d_sharded,
     tvp_1d_sharded,
     tv1_2d_sharded,
+    tv1_1d_banded,
     tv1_2d_banded,
     tv1w_2d_banded,
     tv1_3d_banded,

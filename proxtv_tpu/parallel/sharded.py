@@ -356,6 +356,80 @@ def _banded_jit(mesh, axis, n_dev, M, N, k_steps, tm, variant, cap, gap_tol,
     return jax.jit(f)
 
 
+def tv1_1d_banded(y, lam, mesh: Mesh, chunk: int = 5120, overlap: int = 640):
+    """ONE huge 1D TV-L1 signal SPANNING the mesh (SURVEY §5.8's last
+    corner; reference headline case src/condat_fast_tv.cpp:129-131).
+
+    The signal is contiguously banded over the mesh's devices; each device
+    solves its own overlapped-window sub-batch with the fused VMEM Newton
+    kernel after ``ppermute``-ing ``overlap``-sample halos from its band
+    neighbors, the glued dual's duality-gap certificate is ``psum``-reduced,
+    and the escalation ladder (window resumes, half-chunk-shifted stitch via
+    distributed segmented scans, dual PGD, plateau snap) runs entirely
+    shard-resident — see :mod:`proxtv_tpu.ops.tv1d_long_banded`.
+
+    Args:
+        y: (n,) single long signal.
+        lam: scalar penalty or (n-1,) per-edge weights.
+        mesh: 1D device mesh; the signal is banded over its axis.
+        chunk/overlap: window geometry (see
+            :func:`proxtv_tpu.ops.tv1d_long.tv1_long`).
+
+    Returns:
+        (x, info): the (n,) solution and its (1,)-shaped SolverInfo
+        certificate (rc = RC_ITERS reports an uncertified solve honestly —
+        the banded ladder has no global-polish rung).
+    """
+    from ..utils.info import make_info
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    y = jnp.asarray(y)
+    (n,) = y.shape
+    if overlap >= chunk:
+        raise ValueError(f"overlap ({overlap}) must be < chunk ({chunk})")
+    # Geometry: every device gets Kl windows of `chunk` owned samples; the
+    # zero-padding past n is exactly decoupled by zero edge weights.
+    Kl = max(1, -(-n // (chunk * n_dev)))
+    B_l = Kl * chunk
+    if chunk // 2 + overlap > B_l:
+        raise ValueError("band too small for the jitter halo: need "
+                         f"chunk//2 + overlap <= {B_l}")
+    Ng = n_dev * B_l
+    ypad = jnp.pad(y, (0, Ng - n))
+    lam = jnp.asarray(lam, y.dtype)
+    per_edge = lam.ndim >= 1
+    if per_edge:
+        if lam.shape != (n - 1,):
+            raise ValueError(f"per-edge weights must be (n-1,) = ({n-1},), "
+                             f"got {lam.shape}")
+        lam_pad = jnp.pad(lam, (0, Ng - (n - 1)))
+    f = _banded1d_jit(mesh, axis, n_dev, n, chunk, overlap, per_edge,
+                      Kl)
+    ys = _shard(ypad, mesh, P(axis))
+    if per_edge:
+        x, gap, iters, rc = f(ys, _shard(lam_pad, mesh, P(axis)))
+    else:
+        x, gap, iters, rc = f(ys, lam)
+    return x[:n], make_info(iters, gap, rc)
+
+
+@functools.lru_cache(maxsize=64)
+def _banded1d_jit(mesh, axis, n_dev, n, chunk, overlap, per_edge, Kl):
+    """Compiled banded long-1D solver, cached per geometry."""
+    from functools import partial
+
+    from ..ops.tv1d_long_banded import run_banded
+
+    f = jax.shard_map(
+        partial(run_banded, axis_name=axis, n_dev=n_dev, n=n, chunk=chunk,
+                overlap=overlap),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis) if per_edge else P()),
+        out_specs=(P(axis), P(), P(), P()), check_vma=False)
+    return jax.jit(f)
+
+
 def tv_nd_sharded(Y, ws, ds, ps, mesh: Mesh, max_iters: int = 0,
                   method: str = "pd"):
     """Batched ND generalized TV with batch sharded over the mesh."""
