@@ -117,6 +117,16 @@ def main():
           lambda v: parallel.tv1_3d_banded(v, 0.3, mesh, k_steps=1, tl=3,
                                            tm=8, max_iters=24)[0], V3)
 
+    # 6) banded long-1D: the compiled program contains BOTH the fast path
+    # (window halos + certificate psum) and the escalation ladder branch
+    # (distributed segmented scans + distributed-PCR polish), so the static
+    # count covers the worst case; the fast path executes only its own
+    # halos + one psum (SCALING.md §2c).
+    y1 = jnp.asarray(rng.randn(4096).astype(np.float32))
+    audit("banded long-1D (full program)",
+          lambda y: parallel.tv1_1d_banded(y, 0.7, mesh, chunk=256,
+                                           overlap=32)[0], y1)
+
 
 if __name__ == "__main__":
     main()
