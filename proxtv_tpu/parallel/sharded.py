@@ -167,14 +167,29 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     Returns:
         (x, info): the denoised (M, N) image and its per-solve SolverInfo.
     """
-    from ..models.tv2d import _pdhg_fused_params
+    from ..models.tv2d import _pdhg_fused_params, _pdhg_lane_eff
     from ..utils.config import DEFAULT_COMBINER
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     Y = jnp.asarray(Y)
     M, N = Y.shape
+    # Orientation (as the single-device fused driver): a wider-than-tall
+    # image runs transposed when the shorter lane axis buys more effective
+    # iterations per HBM pass — and banding the LONGER axis also spreads
+    # more rows per device.  Only when auto-tuned (explicit k_steps/tm pin
+    # the caller's geometry).
+    if (k_steps is None and tm is None and M < N
+            and _pdhg_lane_eff(M, W_row is not None)
+            > 1.05 * _pdhg_lane_eff(N, W_row is not None)):
+        x_t, info = tv1_2d_banded(
+            Y.T, lam, mesh, method=method, max_iters=max_iters,
+            gap_tol=gap_tol,
+            W_col=None if W_row is None else jnp.asarray(W_row).T,
+            W_row=None if W_col is None else jnp.asarray(W_col).T)
+        return x_t.T, info
     Np = -(-N // 128) * 128
+    explicit_k = k_steps is not None
     if k_steps is None or tm is None:
         k_auto, tm_auto = _pdhg_fused_params(N, weighted=W_row is not None)
         k_steps = k_steps or k_auto
@@ -195,6 +210,18 @@ def tv1_2d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     if tm > share:
         tm = max(8, -(-share // 8) * 8)  # one tile per device, 8-row aligned
     local_rows = -(-share // tm) * tm
+    # The halo exchange refreshes 2*k_steps rows from ONE neighbor band, so
+    # the band must be at least that tall — otherwise halo rows silently
+    # carry garbage from the wrong device (regression: auto geometry at
+    # M = 40 over 8 devices shrank tm to 8 while keeping k_steps = 12).
+    if 2 * k_steps > local_rows:
+        k_fit = max(4, (local_rows // 2) // 4 * 4)
+        if explicit_k:
+            raise ValueError(
+                f"k_steps={k_steps} needs a 2*k_steps={2*k_steps}-row halo "
+                f"but each band has only {local_rows} rows; use k_steps<="
+                f"{k_fit} or omit it for auto-tuning")
+        k_steps = k_fit
     Mg = n_dev * local_rows
     Ypad = jnp.pad(Y, ((0, Mg - M), (0, Np - N)))
 
@@ -284,6 +311,7 @@ def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
         return jnp.swapaxes(x, 0, 1), info
     L, M, N = Y.shape
     Np = -(-N // 128) * 128
+    explicit_k3 = k_steps is not None
     if k_steps is None or tl is None or tm is None:
         k_auto, tl_auto, tm_auto = PK3.best_params(Np)
         k_steps = k_steps or k_auto
@@ -300,6 +328,17 @@ def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
     if tl > share:
         tl = share
     local_layers = -(-share // tl) * tl
+    # The L-axis halo exchange refreshes hl = 2*k_steps layers from ONE
+    # neighbor band (same constraint as the 2D wrapper).
+    if 2 * k_steps > local_layers:
+        k_fit = max(1, local_layers // 2)
+        if explicit_k3:
+            raise ValueError(
+                f"k_steps={k_steps} needs a {2*k_steps}-layer halo but each "
+                f"band has only {local_layers} layers; use k_steps<={k_fit} "
+                f"or omit it for auto-tuning")
+        k_steps = k_fit
+        hl, hm = PK3._halo_l(k_steps), PK3._halo_m(k_steps)
     Lg = n_dev * local_layers
     mtiles = max(1, -(-M // tm))
     Mp = mtiles * tm + 2 * hm

@@ -284,3 +284,25 @@ def test_banded_long1d_distributed_pcr(rng):
         jnp.asarray(rhs)[None], mask=jnp.asarray(mask)[None]))[0]
     ref = np.where(mask, ref, 0.0)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-9)
+
+
+def test_banded_wide_image_transposed_orientation(rng):
+    """A wider-than-tall image may run transposed (lane-axis orientation
+    choice); the result must match the tall orientation and the XLA engine.
+    Forces the transpose branch by making _pdhg_lane_eff prefer M."""
+    from proxtv_tpu.models import tv2d
+
+    M, N = 40, 72
+    Y = rng.randn(M, N).astype(np.float32)
+    lam = 0.4
+    mesh8 = sharded.make_mesh(8)
+    x_w, i_w = sharded.tv1_2d_banded(jnp.asarray(Y), lam, mesh8,
+                                     max_iters=300)
+    x_t, i_t = sharded.tv1_2d_banded(jnp.asarray(Y.T), lam, mesh8,
+                                     max_iters=300)
+    assert x_w.shape == (M, N)
+    ref, _ = tv2d.tv1_2d_batched(jnp.asarray(Y)[None], lam, method="dr",
+                                 max_iters=300, use_fused=False)
+    assert (_obj(np.asarray(x_w), Y, lam)
+            <= _obj(np.asarray(ref)[0], Y, lam) * (1 + 1e-3))
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_t).T, atol=2e-5)
