@@ -306,3 +306,31 @@ def test_banded_wide_image_transposed_orientation(rng):
     assert (_obj(np.asarray(x_w), Y, lam)
             <= _obj(np.asarray(ref)[0], Y, lam) * (1 + 1e-3))
     np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_t).T, atol=2e-5)
+
+
+def test_banded_long1d_geometry_fuzz(rng):
+    """Random (n, chunk, overlap, D) geometries: the banded solve must stay
+    ndev-invariant and beat-or-match the exact scan's objective within the
+    certificate contract, including n far from any multiple of the band."""
+    from proxtv_tpu.ops import tv1d_l1
+
+    for trial in range(6):
+        D = int(rng.choice([2, 3, 5, 8]))
+        chunk = int(rng.choice([128, 256, 512]))
+        overlap = int(rng.choice([16, 32, chunk // 4]))
+        n = int(rng.randint(2 * chunk, 6 * chunk * D))
+        lam = float(0.2 + 2 * rng.rand())
+        y = np.cumsum(rng.randn(n)) * 0.1 + rng.randn(n)
+        mesh = sharded.make_mesh(D)
+        mesh1 = sharded.make_mesh(1)
+        xD, iD = sharded.tv1_1d_banded(jnp.asarray(y), lam, mesh,
+                                       chunk=chunk, overlap=overlap)
+        x1, _ = sharded.tv1_1d_banded(jnp.asarray(y), lam, mesh1,
+                                      chunk=chunk, overlap=overlap)
+        tag = (trial, D, chunk, overlap, n, lam)
+        np.testing.assert_allclose(np.asarray(xD), np.asarray(x1),
+                                   atol=1e-11, err_msg=str(tag))
+        ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
+                                                jnp.asarray(lam)))[0]
+        o = lambda z: 0.5 * ((z - y) ** 2).sum() + lam * np.abs(np.diff(z)).sum()
+        assert o(np.asarray(xD)) <= o(ref) * (1 + 1e-5), tag
