@@ -334,3 +334,26 @@ def test_banded_long1d_geometry_fuzz(rng):
                                                 jnp.asarray(lam)))[0]
         o = lambda z: 0.5 * ((z - y) ** 2).sum() + lam * np.abs(np.diff(z)).sum()
         assert o(np.asarray(xD)) <= o(ref) * (1 + 1e-5), tag
+
+
+def test_banded_weighted_wide_image_orientation(rng):
+    """Weighted banded 2D on a wider-than-tall image: the orientation choice
+    must swap the weight fields consistently (W_col <-> W_row transposed)."""
+    M, N = 24, 64
+    Y = rng.randn(M, N).astype(np.float32)
+    Wc = (0.5 + rng.rand(M - 1, N)).astype(np.float32)
+    Wr = (0.5 + rng.rand(M, N - 1)).astype(np.float32)
+    mesh8 = sharded.make_mesh(8)
+    x, info = sharded.tv1w_2d_banded(jnp.asarray(Y), jnp.asarray(Wc),
+                                     jnp.asarray(Wr), mesh8, max_iters=300)
+    assert x.shape == (M, N)
+    ref, _ = tv2d.tv1w_2d_batched(jnp.asarray(Y)[None], jnp.asarray(Wc)[None],
+                                  jnp.asarray(Wr)[None], method="dr",
+                                  max_iters=300, use_fused=False)
+
+    def objw(Z):
+        return (0.5 * np.sum((Z - Y) ** 2)
+                + np.sum(Wc * np.abs(np.diff(Z, axis=0)))
+                + np.sum(Wr * np.abs(np.diff(Z, axis=1))))
+
+    assert objw(np.asarray(x)) <= objw(np.asarray(ref)[0]) * (1 + 1e-3)
