@@ -583,9 +583,12 @@ def measure_tpu(base):
     # mesh by tests/test_banded.py and the driver dryrun).
     t_long7 = None
     obj_long7 = None
-    ylong7_np = (np.cumsum(rng.randn(NLONG7)) * 0.05
-                 + rng.randn(NLONG7)).astype(np.float32)
+    # Consume the stream draws unconditionally (alignment with
+    # measure_reference); materialize the 1e7 signal only on TPU.
+    _a7 = rng.randn(NLONG7)
+    _b7 = rng.randn(NLONG7)
     if jax.default_backend() == "tpu":
+        ylong7_np = (np.cumsum(_a7) * 0.05 + _b7).astype(np.float32)
         from proxtv_tpu.parallel import sharded as psharded
         mesh1 = psharded.make_mesh(1)
         ylong7 = jnp.asarray(ylong7_np)
@@ -598,8 +601,8 @@ def measure_tpu(base):
         y7 = np.asarray(ylong7_np, np.float64)
         obj_long7 = float(0.5 * ((x7 - y7) ** 2).sum()
                           + LAM1 * np.abs(np.diff(x7)).sum())
-        del x7, y7
-    del ylong7_np
+        del x7, y7, ylong7_np
+    del _a7, _b7
 
     # Sustained rate on a stream of long signals: all SLONG signals' windows
     # run as ONE fused kernel batch (the TPU analog of one scan per core).

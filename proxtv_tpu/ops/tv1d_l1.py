@@ -869,9 +869,25 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     scan_methods = {"classictautstring", "linearizedtautstring",
                     "hybridtautstring", "condattautstring", "tautstring"}
     if method == "condat":
-        if strict or not fused_ok:
+        # Condat's algorithm is unweighted (one lambda per signal,
+        # src/condat_fast_tv.cpp:78).  Per-edge weights: strict raises (the
+        # NAMED algorithm cannot run them); the non-strict policy coerces to
+        # an equivalent engine, exactly as for the other method aliases.
+        lam_a = jnp.asarray(lam)
+        per_edge_w = lam_a.ndim >= 2 or (lam_a.ndim == 1
+                                         and lam_a.shape[0] == n - 1
+                                         and B != n - 1)
+        if per_edge_w:
+            if strict:
+                raise ValueError(
+                    "method='condat' is unweighted (reference TV1D_denoise "
+                    "takes one lambda); use 'tautstring'/'pn'/'dp' for "
+                    "per-edge weights")
+            method = "hybridtautstring"
+        elif strict or not fused_ok:
             return tv1_condat(y, lam)
-        method = "pn"
+        else:
+            method = "pn"
     if method in scan_methods or method in ("dp", "kolmogorov", "johnson"):
         if strict or not fused_ok:
             if method in scan_methods:

@@ -329,7 +329,12 @@ def tv1_3d_banded(Y, lam, mesh: Mesh, method: str = "chambolle-pock-acc",
         tl = share
     local_layers = -(-share // tl) * tl
     # The L-axis halo exchange refreshes hl = 2*k_steps layers from ONE
-    # neighbor band (same constraint as the 2D wrapper).
+    # neighbor band, so every band needs >= 2 layers even at k_steps = 1:
+    # grow the (validity-masked, zero-padded) band rather than silently
+    # reading a wrong device's layers (regression: an 8x8x128 volume over 8
+    # devices — 1-layer bands — returned a 5%-worse objective).
+    if local_layers < 2:   # only reachable with tl == 1 (local is a
+        local_layers = 2   # multiple of tl), so 2 keeps the tiling valid
     if 2 * k_steps > local_layers:
         k_fit = max(1, local_layers // 2)
         if explicit_k3:
@@ -425,8 +430,11 @@ def tv1_1d_banded(y, lam, mesh: Mesh, chunk: int = 5120, overlap: int = 640):
     n_dev = int(mesh.devices.size)
     y = jnp.asarray(y)
     (n,) = y.shape
-    if overlap >= chunk:
-        raise ValueError(f"overlap ({overlap}) must be < chunk ({chunk})")
+    if not 1 <= overlap < chunk:
+        # >= 1: the dual glue slices [overlap, overlap + chunk) from a
+        # window dual that may be (win - 1)-wide on the XLA path.
+        raise ValueError(f"overlap ({overlap}) must be in [1, chunk) "
+                         f"(chunk = {chunk})")
     # Geometry: every device gets Kl windows of `chunk` owned samples; the
     # zero-padding past n is exactly decoupled by zero edge weights.
     Kl = max(1, -(-n // (chunk * n_dev)))

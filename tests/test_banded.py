@@ -357,3 +357,25 @@ def test_banded_weighted_wide_image_orientation(rng):
                 + np.sum(Wr * np.abs(np.diff(Z, axis=1))))
 
     assert objw(np.asarray(x)) <= objw(np.asarray(ref)[0]) * (1 + 1e-3)
+
+
+def test_banded_3d_single_layer_bands(rng):
+    """Code-review regression: 1-layer bands (L <= n_dev after the
+    longest-axis transpose) must not read halo layers from the wrong device
+    — the band is grown to 2 validity-masked layers instead."""
+    from proxtv_tpu.models import tvnd
+
+    V = rng.randn(8, 8, 96).astype(np.float32)  # share = tl = 1 at D = 8
+    x8, i8 = sharded.tv1_3d_banded(jnp.asarray(V), 0.3, sharded.make_mesh(8),
+                                   max_iters=96)
+    x1, i1 = sharded.tv1_3d_banded(jnp.asarray(V), 0.3, sharded.make_mesh(1),
+                                   max_iters=96)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-5)
+
+
+def test_banded_long1d_overlap_validation():
+    """overlap = 0 would crash the dual glue on the XLA window path; the
+    wrapper must reject it up front."""
+    with pytest.raises(ValueError):
+        sharded.tv1_1d_banded(jnp.zeros(4096, jnp.float32), 1.0,
+                              sharded.make_mesh(1), chunk=256, overlap=0)

@@ -269,3 +269,17 @@ def test_int_input_coercion():
     assert out.dtype.kind == "f"
     ref = oracles.tv1w_oracle(x.astype(float), np.full(7, 1.0))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_condat_per_edge_weight_policy(rng):
+    """Code-review regression: method='condat' with per-edge weights —
+    non-strict coerces to the taut-string engine (the alias policy);
+    strict raises (the named algorithm is unweighted)."""
+    B, n = 4, 64
+    Y = jnp.asarray(rng.randn(B, n))
+    W = jnp.asarray(0.5 + rng.rand(B, n - 1))
+    x = tv1d_l1.tv1_batched(Y, W, method="condat")          # non-strict
+    ref = tv1d_l1.tv1_tautstring(Y, W)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=1e-12)
+    with pytest.raises(ValueError):
+        tv1d_l1.tv1_batched(Y, W, method="condat", strict=True)
