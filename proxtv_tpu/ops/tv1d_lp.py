@@ -90,6 +90,12 @@ def _common_setup(y, lam, p):
     y = y - ybar
     dy = diffs.forward_diff(y)
     q = lp.dual_p(p)
+    if n == 1:
+        # No edges: the engines' n == 1 guards return immediately; skip the
+        # zero-width tridiagonal solve (it would build a (B, -1) operand).
+        z0 = jnp.zeros((B, 0), dtype)
+        return (y, ybar, B, n, dtype, lamv, z0, q, z0,
+                jnp.zeros((B,), bool), lamv <= 0)
     # Closed-form exit: unconstrained solution inside the ball -> x = mean.
     w0 = tridiag.spd_second_difference_solve(dy)
     interior = (lp_norm(w0, q) <= lamv) & (lamv > 0)

@@ -139,3 +139,13 @@ def test_lp_long_signal_kkt(rng):
     # gap <= 1e-5 * obj allows O(sqrt(gap)) primal error; the dual residual
     # scales likewise — assert at the matching tolerance.
     assert np.abs(w - w_kkt).max() <= 1e-3 * lam
+
+
+def test_tvp_single_sample_identity(rng):
+    """n = 1: no edges, the prox is the identity for every engine (the
+    zero-width tridiagonal setup must not be built)."""
+    y = jnp.asarray(rng.randn(3, 1))
+    for m in ["gp", "ogp", "fista", "fw", "gpfw"]:
+        x, info = tv1d_lp.tvp_batched(y, 1.0, 1.5, method=m)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+        assert np.all(np.asarray(info.rc) == 0)
