@@ -91,8 +91,16 @@ def _prox1d(Y2, lam, p: float, method: str):
             if _fused_ok(Y2, p, method):
                 from ..ops.kernels import pn_fused
                 K, n = Y2.shape
+                if jnp.ndim(lam) == 0:
+                    # Uniform penalty rides as an SMEM scalar and the dual
+                    # stays in VMEM: two fewer (K, n) HBM streams per sweep.
+                    x, _ = pn_fused.pn_tv1_fused(Y2, lam_scalar=lam,
+                                                 tb=_fused_tb(n),
+                                                 return_dual=False)
+                    return x
                 lam_full = _lam_padded(lam, K, n, Y2.dtype)
-                x, _ = pn_fused.pn_tv1_fused(Y2, lam_full, tb=_fused_tb(n))
+                x, _ = pn_fused.pn_tv1_fused(Y2, lam_full, tb=_fused_tb(n),
+                                             return_dual=False)
                 return x
             return tv1d_l1.tv1_pn(Y2, lam)[0]
         return tv1d_l1.tv1_batched(Y2, lam, method=method)
@@ -122,9 +130,15 @@ def _prox1d_ws(Y2, lam, p: float, method: str, state):
         if _fused_ok(Y2, p, method):
             from ..ops.kernels import pn_fused
             K, n = Y2.shape
-            lam_full = _lam_padded(lam, K, n, Y2.dtype)
             w0p = jnp.concatenate([state, jnp.zeros((K, 1), Y2.dtype)],
                                   axis=-1)
+            if jnp.ndim(lam) == 0:
+                # Uniform penalty as an SMEM scalar (no (K, n) field stream;
+                # the dual must still round-trip for the warm start).
+                x, w = pn_fused.pn_tv1_fused(Y2, lam_scalar=lam, w_init=w0p,
+                                             tb=_fused_tb(n))
+                return x, w[:, :-1]
+            lam_full = _lam_padded(lam, K, n, Y2.dtype)
             x, w = pn_fused.pn_tv1_fused(Y2, lam_full, w_init=w0p,
                                          tb=_fused_tb(n))
             return x, w[:, :-1]

@@ -239,7 +239,8 @@ def pdhg3d_chunk(sched, x, xb, u1, u2, u3, y, k_steps: int, tl: int, tm: int,
                  count: int, pad_top=0, pad_m: int = 0,
                  grad_step: bool = False):
     """Run one K-iteration chunk over all (L, M) bricks.  State arrays are
-    (Lp, Mp, N) canvases; ``sched`` is the (k_steps, 4) schedule slice.
+    (Lp, Mp, N) canvases; ``sched`` is the (k_steps, 6) schedule slice
+    ([sigma, tau, theta, lam_N, lam_M, lam_L], see make_schedule3).
     ``pad_top`` may be a traced int32 scalar (see _make_kernel)."""
     Lp, Mp, N = x.shape
     hl = _halo_l(k_steps)

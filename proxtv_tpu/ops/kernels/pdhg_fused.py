@@ -39,8 +39,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-K_STEPS = 12          # iterations fused per HBM pass
-_TM = 464             # core rows per band (window = TM + 4*K = 512 rows)
 
 
 def _halo(k_steps):

@@ -160,9 +160,14 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
         v = (col < n - 1).astype(y.dtype) + 0.0 * y
         # Center each lane (translation equivariance — see tv1d_l1.tv1_pn):
         # dual and Dy are unchanged, but fval/gap magnitudes and the relative
-        # stopping scale become DC-offset invariant (crucial in f32).
+        # stopping scale become DC-offset invariant (crucial in f32).  The
+        # lane-padding columns (zero before centering) must be re-zeroed
+        # AFTER it: left at -ybar they inflate fval and the tolerance scale
+        # by (n_pad - n) * ybar^2, silently loosening the stop for
+        # DC-offset signals whenever n is not a multiple of 128.
+        vs = (col < n).astype(y.dtype) + 0.0 * y
         ybar = _rowsum(y) / float(n)
-        y = y - ybar
+        y = (y - ybar) * vs
         lam = (lam_ref[0, 0] if lam_scalar else lam_ref[:]) * v
         dy = (_shift_left(y, 1, 0.0) - y) * v
 

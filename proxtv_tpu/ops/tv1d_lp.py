@@ -13,7 +13,7 @@ via the dual ball-constrained quadratic
 *   :func:`tvp_gp` — projected gradient with Lipschitz step 1/L, L = 4
     (reference ``GP_TVp`` :37, Lipschitz setup :45).
 *   :func:`tvp_ogp` — optimized/strongly-convex momentum gradient using
-    mu = 2 - 2 cos(pi/(n+1)) = lambda_min(DD') (reference ``OGP_TVp`` :295,
+    mu = 2 - 2 cos(pi/n) = lambda_min(DD') (reference ``OGP_TVp`` :295,
     mu at :436).
 *   :func:`tvp_fista` — FISTA momentum over the projection (reference
     ``FISTA_TVp`` :583).
@@ -135,8 +135,10 @@ def _run_projected(y, lam, p, cfg, max_iters, momentum, w_init=None,
         return _tol_of(cfg, den, dtype)
 
     if momentum == "ogp":
-        # mu-strongly-convex momentum (reference OGP_TVp :436).
-        mu_sc = 2.0 - 2.0 * jnp.cos(jnp.pi / (n + 1.0))
+        # mu-strongly-convex momentum (reference OGP_TVp :436: mu =
+        # 2 - 2cos(pi/(nn+1)) with nn = n-1 the DUAL dimension, i.e.
+        # lambda_min of the (n-1)-dim DD') — pi/n, not pi/(n+1).
+        mu_sc = 2.0 - 2.0 * jnp.cos(jnp.pi / n)
         kappa = _L_LIPSCHITZ / mu_sc
         beta_const = (jnp.sqrt(kappa) - 1.0) / (jnp.sqrt(kappa) + 1.0)
     else:

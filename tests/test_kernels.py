@@ -287,3 +287,32 @@ def test_fused_flag_is_thread_scoped():
     t1.join(timeout=20); t2.join(timeout=20)
     assert seen == {"off_inside": False, "on_concurrent": True,
                     "on_inside": True, "off_after": True}, seen
+
+
+def test_pn_fused_dc_offset_nonmultiple_lane(rng):
+    """Code-review regression: lane-padding columns left at -ybar after
+    centering inflated the f32 tolerance scale by (n_pad - n) * ybar^2, so
+    DC-offset signals at n not a multiple of 128 stopped prematurely.  The
+    fused solve must match the f64 XLA solve to f32 resolution."""
+    from proxtv_tpu.ops.kernels import pn_fused
+    from proxtv_tpu.ops import tv1d_l1
+
+    B, n = 8, 200          # n_pad = 256: 56 pad columns
+    Y64 = 100.0 + rng.randn(B, n)           # DC offset >> variance
+    lam = 0.7
+    Y32 = jnp.asarray(Y64, jnp.float32)
+    x32, _ = pn_fused.pn_tv1_fused(Y32, lam_scalar=lam, tb=8,
+                                   return_dual=False)
+    ref, info = tv1d_l1.tv1_pn(jnp.asarray(Y64), lam)
+    assert np.all(np.asarray(info.rc) == 0)
+
+    def obj(z, y):
+        return (0.5 * ((z - y) ** 2).sum(-1)
+                + lam * np.abs(np.diff(z, axis=-1)).sum(-1))
+
+    o32 = obj(np.asarray(x32, np.float64), Y64)
+    oref = obj(np.asarray(ref), Y64)
+    # Pre-fix this failed by ~1e-2 relative (the kernel exited after ~0
+    # Newton iterations); the fixed kernel matches to f32 rounding.
+    np.testing.assert_allclose(o32, oref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x32), np.asarray(ref), atol=5e-3)
