@@ -66,8 +66,15 @@ void taut_string(const double* y, int n, const double* lam, double lam_s,
       const double b_val = ceil_viol ? mn : mx;
       for (int k = seg_start; k <= b_end; ++k) x[k] = b_val;
 
-      // Restart right after the break.
+      // Restart right after the break.  An emit that reached the endpoint
+      // leaves nothing to solve: terminate.  (Reachable only via a
+      // floating-point-noise re-break at the restarted last point — the
+      // endpoint-tie checks are absolute 1e-15 thresholds, so at |y| or
+      // lam ~ 1e6 the rounding of y[n-1] + sgn*lam[n-2] re-triggers a
+      // break with b_end == n-1; without this guard the restart would read
+      // y[n] and lam[n-1] out of bounds.)
       const int j = b_end + 1;
+      if (j >= n) break;
       const double lj_prev = LAM(j - 1);
       const double sgn = ceil_viol ? 1.0 : -1.0;
       const bool new_is_last = (j == n - 1);

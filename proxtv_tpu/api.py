@@ -117,7 +117,7 @@ def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,
         if native.available():
             out = native.tv1_host(np.asarray(x, dtype=float).ravel(), float(w))
             return _native_ret(out)
-    if auto and n > 16384 and method != "pn":
+    if auto and n > 16384:  # auto is 'hybridtautstring' or 'dp' here
         # Long single signal: the lock-step scan engines pay one sequential
         # while-step per sample — route to the TPU-resident chunked
         # solve+glue+polish path (ops/tv1d_long.py), exact by certificate.

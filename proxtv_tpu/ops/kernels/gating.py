@@ -62,6 +62,7 @@ _KIND_LANE_LIMITS = {
     "pn_window": (2, 8192),  # long-signal window solve (ops/tv1d_long.py)
     "pdhg2d": (1, 8192),    # 2D PDHG stencil (ops/kernels/pdhg_fused.py)
     "pdhg3d": (1, 2048),    # 3D PDHG stencil (ops/kernels/pdhg3d_fused.py)
+    "pcr": (2, 8192),       # standalone PCR tridiagonal kernel (ops/tridiag.py)
 }
 
 

@@ -138,8 +138,20 @@ def spd_second_difference_solve(rhs, diag_shift=0.0, mask=None, method="pcr"):
 
     # Hot path: on TPU, run the whole cyclic reduction VMEM-resident in a
     # Pallas kernel (~50x less HBM traffic than the XLA fallback below).
-    if (method == "pcr" and rhs.ndim == 2 and dtype == jnp.float32
-            and 2 <= n <= 8192 and jax.default_backend() == "tpu"):
+    # Routed through the shared gate (backend/dtype/shape/fused-flag/
+    # sharding): a pallas_call is a single-device op, so sharded solves
+    # traced under fused_ctx(False) — e.g. tv1_pn inside a GSPMD-sharded
+    # combiner — must take the GSPMD-shardable XLA path below.
+    from .kernels import gating
+
+    # The kernel carries the shift as ONE value per row; a shift varying
+    # along the system axis (allowed by the broadcastable contract) must
+    # use the XLA path rather than silently solving with column 0's value.
+    shift_arr = jnp.asarray(diag_shift)
+    shift_per_row = not (shift_arr.ndim >= 1 and shift_arr.shape[-1] == n
+                         and n > 1)
+    if (method == "pcr" and rhs.ndim == 2 and shift_per_row
+            and gating.gate(rhs, "pcr")):
         from .kernels import pcr as pcr_kernels
 
         tb = int(max(8, min(128, ((2 << 20) // (4 * n) // 8) * 8)))

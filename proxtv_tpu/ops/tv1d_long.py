@@ -256,7 +256,11 @@ def tv1_long(y, lam, chunk: int = 5120, overlap: int = 640,
     dtype = Y.dtype
     lam = jnp.asarray(lam, dtype)
     per_edge = lam.ndim >= 1
-    lam_b = (lam[None] if lam.ndim == 1 else lam) if per_edge else lam
+    # A shared (n-1,) weight vector broadcasts across the batch up front:
+    # the window construction below vmaps over the batch axis, so a leading
+    # dim of 1 would make the (S*K, win-1) reshape size-mismatch for S > 1.
+    lam_b = (jnp.broadcast_to(lam[None] if lam.ndim == 1 else lam,
+                              (S, n - 1)) if per_edge else lam)
 
     if n <= chunk + 2 * overlap:
         x, info = tv1d_l1.tv1_pn(Y, lam_b, cfg=cfg)
@@ -309,8 +313,9 @@ def tv1_long(y, lam, chunk: int = 5120, overlap: int = 640,
     tol = jnp.maximum(cfg.stop, 2.0 * jnp.finfo(dtype).eps * scale)
 
     def _gap_at(x, w):
-        g = diffs.primal2grad(x)
-        return jnp.abs(jnp.sum(jnp.abs(g) * lam_b + w * g, axis=-1))
+        # Reference GRAD2GAP, shared with the batched engines so the two
+        # certificates cannot drift apart.
+        return tv1d_l1._gap_tv1w(w, diffs.primal2grad(x), lam_b)
 
     x1 = diffs.dual2primal(w_glued, Y)
     gap1 = _gap_at(x1, w_glued)

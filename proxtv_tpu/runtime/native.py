@@ -57,6 +57,12 @@ def _load():
         lib.ptv_tv1_batch_host.restype = None
         lib.ptv_tv1_batch_host.argtypes = [pd, ctypes.c_int, ctypes.c_int,
                                            ctypes.c_double, pd, ctypes.c_int]
+        lib.ptv_ws_new.restype = ctypes.c_void_p
+        lib.ptv_ws_new.argtypes = [ctypes.c_int]
+        lib.ptv_ws_free.restype = None
+        lib.ptv_ws_free.argtypes = [ctypes.c_void_p]
+        lib.ptv_ws_double.restype = pd
+        lib.ptv_ws_double.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -65,12 +71,51 @@ def available() -> bool:
     return _load() is not None
 
 
-def tv1_host(y, lam: float):
-    """Scalar-weight 1D TV-L1 prox on the host (f64, microsecond latency)."""
+class HostWorkspace:
+    """Reusable host-side buffer pool — the reference ``Workspace`` analog
+    (src/utils.h:20-34): a caller issuing many latency-tail solves reuses
+    pool-owned output memory instead of allocating a fresh array per call.
+
+    Use as a context manager or call :meth:`close`; the returned arrays are
+    VIEWS into pool memory, valid until the next pool call / close."""
+
+    def __init__(self, capacity: int = 0):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._ptr = lib.ptv_ws_new(int(capacity))
+
+    def out_buffer(self, size: int):
+        ptr = self._lib.ptv_ws_double(self._ptr, int(size))
+        return np.ctypeslib.as_array(ptr, shape=(int(size),))
+
+    def close(self):
+        if self._ptr is not None:
+            self._lib.ptv_ws_free(self._ptr)
+            self._ptr = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
+def tv1_host(y, lam: float, ws: "HostWorkspace" = None):
+    """Scalar-weight 1D TV-L1 prox on the host (f64, microsecond latency).
+
+    ``ws``: optional :class:`HostWorkspace` — the result is written into
+    pool-owned memory (a view is returned) instead of a fresh allocation."""
     lib = _load()
     assert lib is not None
     y = np.ascontiguousarray(y, dtype=np.float64)
-    x = np.empty_like(y)
+    x = ws.out_buffer(y.size) if ws is not None else np.empty_like(y)
     pd = ctypes.POINTER(ctypes.c_double)
     lib.ptv_tv1_host(y.ctypes.data_as(pd), y.size, float(lam),
                      x.ctypes.data_as(pd))

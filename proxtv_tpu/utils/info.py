@@ -43,10 +43,13 @@ class SolverInfo:
 
     @staticmethod
     def single(iters=0, gap=0.0, rc=RC_OK, dtype=jnp.float32) -> "SolverInfo":
+        # (1,)-shaped like every batched engine's per-signal info, so a
+        # caller's info.gap[0] works identically across methods (the direct
+        # scan engines use this; the iterative engines return B = 1 arrays).
         return SolverInfo(
-            iters=jnp.asarray(iters, jnp.int32),
-            gap=jnp.asarray(gap, dtype),
-            rc=jnp.asarray(rc, jnp.int32),
+            iters=jnp.asarray([iters], jnp.int32),
+            gap=jnp.asarray([gap], dtype),
+            rc=jnp.asarray([rc], jnp.int32),
         )
 
 

@@ -85,3 +85,43 @@ def test_fuzz_weighted_native_vs_jax(rng):
         X_dp = np.asarray(tv1d_l1.tv1_dp(jnp.asarray(Y), jnp.asarray(W)))
         np.testing.assert_allclose(X_ts, X_host, atol=1e-8, err_msg=f"ts n={n}")
         np.testing.assert_allclose(X_dp, X_host, atol=1e-8, err_msg=f"dp n={n}")
+
+
+def test_native_large_magnitude_endpoint(rng):
+    """Code-review regression: large-magnitude signals can re-trigger an
+    endpoint break from rounding noise (absolute 1e-15 tie thresholds); the
+    restart guard must terminate instead of reading y[n]/lam[n-1] out of
+    bounds.  Values must still match the JAX scan engine."""
+    import jax.numpy as jnp
+
+    from proxtv_tpu.ops import tv1d_l1
+
+    for trial in range(50):
+        n = int(rng.randint(3, 40))
+        scale = 10.0 ** rng.randint(4, 9)
+        y = (rng.randn(n) * scale).astype(np.float64)
+        lam = float(rng.rand() * scale * 0.1)
+        x = native.tv1_host(y, lam)
+        ref = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
+                                                jnp.asarray(lam)))[0]
+        np.testing.assert_allclose(x, ref, rtol=1e-10, atol=1e-8 * scale)
+        w = (rng.rand(n - 1) * scale * 0.1).astype(np.float64)
+        xw = native.tv1w_host(y, w)
+        refw = np.asarray(tv1d_l1.tv1_tautstring(jnp.asarray(y)[None],
+                                                 jnp.asarray(w)[None]))[0]
+        np.testing.assert_allclose(xw, refw, rtol=1e-10, atol=1e-8 * scale)
+
+
+def test_host_workspace_pool(rng):
+    """The host workspace pool (reference Workspace analog) reuses its
+    buffer across calls and returns correct results."""
+    y1 = rng.randn(64)
+    y2 = rng.randn(64)
+    with native.HostWorkspace() as ws:
+        x1 = native.tv1_host(y1, 0.5, ws=ws)
+        ref1 = native.tv1_host(y1, 0.5)
+        np.testing.assert_allclose(x1, ref1, atol=0)
+        p1 = x1.ctypes.data
+        x2 = native.tv1_host(y2, 0.5, ws=ws)
+        assert x2.ctypes.data == p1          # same pool memory reused
+        np.testing.assert_allclose(x2, native.tv1_host(y2, 0.5), atol=0)

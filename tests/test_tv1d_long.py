@@ -109,3 +109,20 @@ def test_long_plateau_every_seam_in_flat(rng):
         return 0.5 * ((z - y) ** 2).sum() + lam * np.abs(np.diff(z)).sum()
     rel = (obj(np.asarray(x)) - obj(ref)) / obj(ref)
     assert rel <= 1e-5, rel
+
+
+def test_long_batched_shared_weight_vector(rng):
+    """Code-review regression: an (S, n) batch with one SHARED (n-1,)
+    per-edge weight vector (documented input) crashed the window reshape
+    for S > 1; it must solve and match per-signal solves."""
+    S, n = 3, 4096
+    Y = np.cumsum(rng.randn(S, n), axis=1) * 0.05 + rng.randn(S, n)
+    w = 0.3 + rng.rand(n - 1)
+    x, info = tv1d_long.tv1_long(jnp.asarray(Y), jnp.asarray(w),
+                                 chunk=512, overlap=64)
+    assert np.all(np.asarray(info.rc) == 0)
+    for s in range(S):
+        xs, _ = tv1d_long.tv1_long(jnp.asarray(Y[s]), jnp.asarray(w),
+                                   chunk=512, overlap=64)
+        np.testing.assert_allclose(np.asarray(x[s]), np.asarray(xs),
+                                   atol=1e-10)
