@@ -28,14 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 _DEF_TB = 128
 
 
-def _shift_right(x, s, fill):
-    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
-
-
-def _shift_left(x, s, fill):
-    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-    return jnp.concatenate([x[..., s:], pad], axis=-1)
+from . import common  # noqa: E402
+from .common import (  # noqa: E402 — shared kernel helpers
+    shift_left as _shift_left,
+    shift_right as _shift_right,
+)
 
 
 def _pcr_body(a, b, c, d, n):
@@ -96,11 +93,7 @@ def _kernel_shifted(rhs_ref, shift_ref, out_ref):
 
 
 def _pad_rows(x, tb):
-    B = x.shape[0]
-    Bp = -(-B // tb) * tb
-    if Bp == B:
-        return x, B
-    return jnp.pad(x, ((0, Bp - B), (0, 0))), B
+    return common.pad_rows(x, tb), x.shape[0]
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))

@@ -30,14 +30,11 @@ _DEF_TB = 64
 _EPS = 1e-10
 
 
-def _shift_right(x, s, fill):
-    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
-
-
-def _shift_left(x, s, fill):
-    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-    return jnp.concatenate([x[..., s:], pad], axis=-1)
+from . import common  # noqa: E402
+from .common import (  # noqa: E402 — shared kernel helpers
+    shift_left as _shift_left,
+    shift_right as _shift_right,
+)
 
 
 def _pcr_masked(m, d, n, head_steps=32, tail_live=None):
@@ -322,12 +319,7 @@ def _make_kernel(n, n_pad, max_iters, max_armijo, sigma, stop_rel, warm,
     return kernel
 
 
-def _pad_rows(x, tb):
-    B = x.shape[0]
-    Bp = -(-B // tb) * tb
-    if Bp == B:
-        return x
-    return jnp.pad(x, ((0, Bp - B), (0, 0)))
+_pad_rows = common.pad_rows
 
 
 @functools.partial(jax.jit,
