@@ -118,3 +118,24 @@ def test_pdhg3d_method_validation(rng):
     with pytest.raises(ValueError):
         tvnd.tv_nd_batched(Y, (0.3, 0.3, 0.3), (1, 2, 3), (1.0, 1.0, 1.0),
                            method="chambolle-pock-acc")
+
+
+def test_pdhg3d_lane_orientation(rng):
+    """A volume whose best lane axis is not last solves via the rotated
+    orientation; result must match solving the pre-rotated volume directly
+    and respect per-axis penalties (anisotropic lams permute along)."""
+    from proxtv_tpu.models.tvnd import _run_pdhg3d_fused
+
+    B, L, M, N = 1, 8, 96, 16        # lane 16 pads to 128: M is far better
+    V = jnp.asarray(rng.randn(B, L, M, N).astype(np.float32))
+    lams = (0.2, 0.35, 0.3)          # distinct per-axis penalties
+    x, info = _run_pdhg3d_fused(V, lams, cap=48, cfg=CFG, variant="cp-acc")
+    assert x.shape == (B, L, M, N)
+    # direct solve of the pre-rotated problem (M as lane): axes (B, L, N, M),
+    # lams (lam_L, lam_N, lam_M)
+    x_dir, _ = _run_pdhg3d_fused(jnp.transpose(V, (0, 1, 3, 2)),
+                                 (0.2, 0.3, 0.35), cap=48, cfg=CFG,
+                                 variant="cp-acc")
+    np.testing.assert_allclose(np.asarray(x),
+                               np.asarray(jnp.transpose(x_dir, (0, 1, 3, 2))),
+                               atol=1e-6)
