@@ -283,3 +283,24 @@ def test_condat_per_edge_weight_policy(rng):
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=1e-12)
     with pytest.raises(ValueError):
         tv1d_l1.tv1_batched(Y, W, method="condat", strict=True)
+
+
+def test_condat_engine_adversarial_patterns(rng):
+    """Tie/plateau/monotone adversarial inputs for the Condat dual-variable
+    engine vs the taut-string engine (both exact): constant signals,
+    repeated values, alternating extremes, staircases, tie-at-lambda."""
+    n = 120
+    cases = [
+        np.zeros(n),
+        np.repeat(rng.randn(n // 8), 8),
+        np.tile([1.0, -1.0], n // 2),
+        np.arange(n, dtype=float),
+        np.concatenate([np.full(n // 2, 1.0), np.full(n - n // 2, -1.0)]),
+    ]
+    # exact-tie construction: jump size exactly 2*lam between neighbors
+    lam = 0.5
+    cases.append(np.cumsum(np.tile([2 * lam, -2 * lam], n // 2))[:n])
+    Y = jnp.asarray(np.stack(cases))
+    xc = np.asarray(tv1d_l1.tv1_condat(Y, lam))
+    xt = np.asarray(tv1d_l1.tv1_tautstring(Y, lam))
+    np.testing.assert_allclose(xc, xt, atol=1e-12)

@@ -175,3 +175,17 @@ def test_spectral_warm_start_reduces_iters(rng):
     assert np.all(np.asarray(info2.rc) == 0)
     assert int(np.asarray(info2.iters)[0]) <= 1, np.asarray(info2.iters)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-8)
+
+
+def test_dst1_chirp_f32_large_length(rng):
+    """The chirp phase tables are reduced mod 4(m+1) in integer arithmetic,
+    so the f32/complex64 path keeps full phase accuracy at j ~ 1e6 (a naive
+    float phase j^2 * a would be garbage there).  Involution check at a
+    large non-smooth length in f32."""
+    from proxtv_tpu.ops.tv1d_l2 import _dst1_chirp
+
+    m = 999_983  # prime
+    x = jnp.asarray(rng.randn(1, m).astype(np.float32))
+    xx = np.asarray(_dst1_chirp(_dst1_chirp(x)))
+    err = np.abs(xx - np.asarray(x)).max()
+    assert err < 5e-4, err  # c64 FFT rounding only — no phase blow-up
