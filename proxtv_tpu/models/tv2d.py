@@ -452,7 +452,8 @@ def _pdhg_sigma_schedule(Y, lam_eff, dtype):
 
 def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
                     W_col=None, W_row=None, x0=None, gap_tol=None,
-                    sigma0=None, sigma_cap_mult=None, obj_target=None):
+                    sigma0=None, sigma_cap_mult=None, obj_target=None,
+                    u0=None, return_duals: bool = False):
     """Driver for the temporally-blocked PDHG kernel: stacks the image batch
     vertically with decoupled (lam = 0) gap rows and runs K-iteration chunks.
 
@@ -466,7 +467,19 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     certificate applies to the output itself.
 
     ``W_col`` (B, M-1, N) / ``W_row`` (B, M, N-1): optional per-edge weight
-    fields (weighted anisotropic TV).  ``x0``: optional primal warm start."""
+    fields (weighted anisotropic TV).  ``x0``: optional primal warm start.
+    ``u0``: optional (u_row (B, M, N-1), u_col (B, M-1, N)) DUAL warm start
+    (box-clipped on entry) — the PDHG analog of the Workspace warm restart;
+    with ``return_duals`` the final dual pair is appended to the return so
+    callers can thread it across outer loops (re-solving from converged
+    duals certifies within one certificate period).  Measured dead end, do
+    not re-try: lambda-CONTINUATION (solve at scaled-down weights, feed
+    scaled duals forward — with or without a terminal-sigma schedule
+    override) does NOT cut the big-lam iteration count (stage 2 still pays
+    ~the full cold count; 1024^2 weighted probe: cold 624 vs 720-912
+    two-stage totals) — the count is governed by the sigma ramp + the
+    (lam_rel)^1.5 law, not the starting point, consistent with the
+    multigrid-x0 note above."""
     from ..ops.kernels import pdhg_fused as PK
 
     B, M, N = Y.shape
@@ -478,13 +491,21 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     # swap roles), so solve the better orientation and transpose back.
     if M < N and _pdhg_lane_eff(M, W_row is not None) > 1.05 * _pdhg_lane_eff(
             N, W_row is not None):
-        x_t, info = _run_pdhg_fused(
+        res = _run_pdhg_fused(
             jnp.swapaxes(Y, 1, 2), lam, cap, tol, cfg, variant,
             W_col=None if W_row is None else jnp.swapaxes(W_row, 1, 2),
             W_row=None if W_col is None else jnp.swapaxes(W_col, 1, 2),
             x0=None if x0 is None else jnp.swapaxes(x0, 1, 2),
             gap_tol=gap_tol, sigma0=sigma0, sigma_cap_mult=sigma_cap_mult,
-            obj_target=obj_target)
+            obj_target=obj_target,
+            u0=None if u0 is None else (jnp.swapaxes(u0[1], 1, 2),
+                                        jnp.swapaxes(u0[0], 1, 2)),
+            return_duals=return_duals)
+        if return_duals:
+            x_t, info, (u1_t, u2_t) = res
+            return (jnp.swapaxes(x_t, 1, 2), info,
+                    (jnp.swapaxes(u2_t, 1, 2), jnp.swapaxes(u1_t, 1, 2)))
+        x_t, info = res
         return jnp.swapaxes(x_t, 1, 2), info
     # (A multigrid primal warm start was tried here and reverted: PDHG's
     # convergence is governed by the dual build-up, so a good x0 alone does
@@ -627,7 +648,15 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
 
     zeros = jnp.zeros_like(Ypad)
     X0 = canvas(x0) if x0 is not None else Ypad
-    init = (X0, X0, zeros, zeros, jnp.int32(0),
+    if u0 is not None:
+        u1_init = jnp.clip(canvas(u0[0]), -lamr, lamr)
+        u2_init = jnp.clip(canvas(u0[1]), -lamc, lamc)
+        if x0 is None:
+            # Consistent primal for a dual start: xhat = Y - D'u.
+            X0 = Ypad - (drT_(u1_init) + dcT_(u2_init))
+    else:
+        u1_init = u2_init = zeros
+    init = (X0, X0, u1_init, u2_init, jnp.int32(0),
             jnp.full((B,), jnp.inf, Y.dtype), jnp.zeros((B,), jnp.int32),
             jnp.ones((B,), bool))
     x, xb, u1, u2, t, gap_b, iters_img, running = jax.lax.while_loop(
@@ -636,7 +665,12 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     gap_b, obj_b, xhat = gap_and_primal(u1, u2)
     out = xhat[halo:halo + B * S].reshape(B, S, Np)[:, :M, :N]
     rc = jnp.where(still_running(gap_b, obj_b), RC_ITERS, RC_OK).astype(jnp.int32)
-    return out, make_info(iters_img, gap_b, rc)
+    info = make_info(iters_img, gap_b, rc)
+    if return_duals:
+        u1_img = u1[halo:halo + B * S].reshape(B, S, Np)[:, :M, :N - 1]
+        u2_img = u2[halo:halo + B * S].reshape(B, S, Np)[:, :M - 1, :N]
+        return out, info, (u1_img, u2_img)
+    return out, info
 
 
 def _run_pdhg_fused_banded(Yl, lam, Wr=None, Wc=None, *, cap, cfg,

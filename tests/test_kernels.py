@@ -316,3 +316,28 @@ def test_pn_fused_dc_offset_nonmultiple_lane(rng):
     # Newton iterations); the fixed kernel matches to f32 rounding.
     np.testing.assert_allclose(o32, oref, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(x32), np.asarray(ref), atol=5e-3)
+
+
+def test_pdhg_dual_warm_restart(rng):
+    """The fused PDHG driver's dual warm start (u0/return_duals — the PDHG
+    Workspace analog): re-solving from its own converged duals certifies
+    immediately (one certificate period) with the same output."""
+    from proxtv_tpu.models import tv2d
+    from proxtv_tpu.utils.config import DEFAULT_COMBINER as CFG
+
+    Y = jnp.asarray(rng.randn(2, 40, 40).astype(np.float32))
+    with tv2d._fused_ctx(True):
+        x1, i1, (u1, u2) = tv2d._run_pdhg_fused(
+            Y, lam=0.4, cap=2500, tol=CFG.stop, cfg=CFG, variant="cp-acc",
+            return_duals=True)
+        assert u1.shape == (2, 40, 39) and u2.shape == (2, 39, 40)
+        x2, i2 = tv2d._run_pdhg_fused(
+            Y, lam=0.4, cap=2500, tol=CFG.stop, cfg=CFG, variant="cp-acc",
+            u0=(u1, u2))
+    assert np.all(np.asarray(i1.rc) == 0)
+    it1 = np.asarray(i1.iters)
+    it2 = np.asarray(i2.iters)
+    assert np.all(it2 <= np.minimum(it1, 24)), (it1, it2)
+    # one certificate period still runs, so the two certified optima differ
+    # at the usual cross-method level
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-3)
