@@ -8,11 +8,16 @@
 // The solver is the weighted linearized taut-string scan: walk the tube
 // [running_sum - lam, running_sum + lam], maintaining the current affine
 // segment's min/max feasible slopes; when the tube is violated, emit a
-// completed segment at the pinned slope and restart after it.  Same algorithm
-// family as the reference (src/TVL1Wopt.cpp:364 tautString_TV1_Weighted,
-// src/TVL1opt.cpp:359 linearizedTautString_TV1) — implemented independently
-// from the mathematical description (it is the sequential form of the
-// lock-step scan in proxtv_tpu/ops/tv1d_l1.py tv1_tautstring).
+// completed segment at the pinned slope and restart after it.  This is the
+// same published algorithm as the reference scan, with the reference's
+// variable vocabulary (mn/mx, mn_height/mx_height, mn_break/mx_break,
+// last_break — src/TVL1Wopt.cpp:364 tautString_TV1_Weighted,
+// src/TVL1opt.cpp:359 linearizedTautString_TV1) but restructured control
+// flow: a single unified loop with one sgn-parameterized break path, merged
+// last-point handling, weighted and scalar penalties unified, and an
+// endpoint-tie out-of-bounds guard the reference lacks.  It is also the
+// sequential form of the lock-step scan in proxtv_tpu/ops/tv1d_l1.py
+// tv1_tautstring.
 //
 // Exported C API (see proxtv_tpu/runtime/native.py):
 //   ptv_tv1_host(y, n, lam, x)                  scalar-weight TV-L1 prox
