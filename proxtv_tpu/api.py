@@ -59,8 +59,12 @@ _TV1_METHODS = {"classictautstring", "linearizedtautstring", "hybridtautstring",
 # src/condat_fast_tv.cpp:78), not a taut-string alias — an explicit
 # method='condat' runs that algorithm.  'condattautstring' remains the
 # taut-string variant (reference TV1D_denoise_tautstring, :133).
-_TAUTSTRING_METHODS = {"classictautstring", "linearizedtautstring",
-                       "hybridtautstring", "condattautstring"}
+# 'classictautstring' is likewise NOT among them since round 5: it names
+# the classic hull-merge engine (ops.tv1d_l1.tv1_classic_ts, reference
+# src/TVL1opt_tautstring.cpp:256), and the host lib runs the LINEARIZED
+# scan — an explicit classictautstring must run the named algorithm.
+_TAUTSTRING_METHODS = {"linearizedtautstring", "hybridtautstring",
+                       "condattautstring"}
 
 
 def tv1_1d(x, w, method="auto", sigma=0.05, maxbacktracks=None,

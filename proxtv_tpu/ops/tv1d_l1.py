@@ -4,7 +4,7 @@ Solves, for every signal in a batch,
 
     min_x 0.5 ||x - y||^2 + sum_i w_i |x_{i+1} - x_i|
 
-with scalar or per-edge weights.  Four independent engines are provided, each a
+with scalar or per-edge weights.  Five independent engines are provided, each a
 TPU-first redesign of a reference algorithm family:
 
 *   :func:`tv1_pn` — projected Newton on the dual box-constrained QP
@@ -38,6 +38,13 @@ TPU-first redesign of a reference algorithm family:
     instead of a taut-string tube or DP messages.  Lock-step, one reference
     loop event per ``while_loop`` iteration, segment records scattered at
     their start index and materialized by a forward fill.
+
+*   :func:`tv1_classic_ts` — the CLASSIC taut-string method (reference
+    ``src/TVL1opt_tautstring.cpp:256`` ``classicTautString_TV1``): concave-
+    majorant / convex-minorant hulls of the cumsum tube maintained as
+    segment deques with O(1)-amortized hull merges, knots emitted when the
+    leftmost slopes cross.  Lock-step, one deque event per iteration, hull
+    arenas per lane.
 
 All engines accept signals of shape (B, n) and weights either scalar, (B,), or
 per-edge (B, n-1).  Exactness contract: engines agree with each other and with a
@@ -833,6 +840,269 @@ def tv1_dp(y, lam):
 
 
 # ---------------------------------------------------------------------------
+# Engine 5: classic taut string (hull-merge deques on the cumsum polyline)
+# ---------------------------------------------------------------------------
+
+_CT_MAJ = 0      # merging the pending segment into the concave majorant
+_CT_MIN = 1      # merging the pending segment into the convex minorant
+_CT_CROSS = 2    # emitting taut-string knots while the leftmost slopes cross
+_CT_FLUSH = 3    # emitting the larger hull's remaining segments
+_CT_DONE = 4
+
+
+@jax.jit
+def tv1_classic_ts(y, lam):
+    """Batched classic taut-string TV-L1 prox (unweighted; exact).
+
+    The CLASSIC taut-string method (reference ``classicTautString_TV1``,
+    ``src/TVL1opt_tautstring.cpp:256``): walk the cumulative-sum polyline
+    maintaining two piecewise-linear hulls as segment deques — the concave
+    majorant of the lower tube boundary (cumsum - lam) and the convex
+    minorant of the upper boundary (cumsum + lam).  Each new point is merged
+    into both hulls (pop trailing segments while the hull property is
+    violated, accumulating their (incx, incy) spans — the reference's
+    ``concavemajorantadd``/``convexminorantadd`` macros, :149-182); whenever
+    the hulls' LEFTMOST slopes cross, the taut string is pinned: the shorter
+    first segment becomes an output run at its slope, the other hull
+    collapses to a single segment from the new knot to the last explored
+    point (``newknot``, :187-223).  A FIFTH independent engine family: it
+    reasons about global hull geometry with O(1)-amortized deque merges,
+    where the linearized scan (:func:`tv1_tautstring`) tracks only the
+    current segment's slope bounds and backtracks.
+
+    TPU-native form: a lock-step ``while_loop`` — each iteration performs
+    exactly one deque event (one hull-merge pop, one push, one knot
+    emission, or one flush emission) on every lane.  Hull deques live in
+    per-lane (B, n+2) arenas of (incx, incy) pairs with first/last cursors;
+    slopes are recomputed as incy/incx where the reference reads its stored
+    division (same operands, same result).  Output runs are scattered as
+    (start, value) records and materialized by a forward fill, as in
+    :func:`tv1_condat`.  O(n) amortized events per lane.
+
+    ``lam``: scalar or (B,) per-signal penalties (the reference classic
+    engine is unweighted).
+    """
+    y = jnp.asarray(y)
+    B, n = y.shape
+    dtype = y.dtype
+    if n == 1:
+        return y
+
+    lam = jnp.asarray(lam, dtype)
+    if lam.ndim >= 2 or (lam.ndim == 1 and lam.shape[0] == n - 1 and B != n - 1):
+        raise ValueError("tv1_classic_ts is unweighted: lam must be scalar "
+                         "or (B,) per-signal (reference classicTautString_TV1"
+                         " takes one lambda, src/TVL1opt_tautstring.cpp:256)")
+    lamv = jnp.maximum(jnp.broadcast_to(lam, (B,)), jnp.zeros((), dtype))
+    rows = jnp.arange(B)
+    A = n + 2  # arena capacity: <= n+1 live segments + garbage slot A-1
+
+    def gy(idx):
+        return jnp.take_along_axis(y, jnp.clip(idx, 0, n - 1)[:, None],
+                                   axis=1)[:, 0]
+
+    def g_arena(a, idx):
+        return jnp.take_along_axis(a, jnp.clip(idx, 0, A - 1)[:, None],
+                                   axis=1)[:, 0]
+
+    def s_arena(a, idx, val, do):
+        col = jnp.where(do, jnp.clip(idx, 0, A - 2), A - 1)
+        return a.at[rows, col].set(val)
+
+    def fresh(i, sign):
+        """Pending unit segment for point i: the final point enters the
+        majorant at y+lam and the minorant at y-lam (tube endpoints are
+        exact — reference :317-323); interior points enter plain."""
+        return jnp.where(i == n - 1, gy(i) + sign * lamv, gy(i))
+
+    def body(state):
+        (it, phase, i, s_incx, s_incy, maj_ix, maj_iy, maj_f, maj_l,
+         min_ix, min_iy, min_f, min_l, org_x, org_y, le_x, le_y,
+         opos, flush_maj, out_val, out_mark) = state
+
+        dct = lambda v: v.astype(dtype)  # noqa: E731
+
+        # ---------- hull merges (P_MAJ / P_MIN share structure) ----------
+        in_maj = phase == _CT_MAJ
+        in_min = phase == _CT_MIN
+        # majorant: pop while s.incy > s.incx * slope(last)
+        mj_last_ix = g_arena(maj_ix, maj_l)
+        mj_last_iy = g_arena(maj_iy, maj_l)
+        mj_size = maj_l - maj_f + 1
+        mj_pop = in_maj & (mj_size >= 1) & (
+            s_incy > dct(s_incx) * (mj_last_iy / dct(mj_last_ix)))
+        mj_push = in_maj & ~mj_pop
+        # minorant: pop while s.incy < s.incx * slope(last)
+        mn_last_ix = g_arena(min_ix, min_l)
+        mn_last_iy = g_arena(min_iy, min_l)
+        mn_size = min_l - min_f + 1
+        mn_pop = in_min & (mn_size >= 1) & (
+            s_incy < dct(s_incx) * (mn_last_iy / dct(mn_last_ix)))
+        mn_push = in_min & ~mn_pop
+
+        # ---------- crossing check / knot emission ----------
+        in_cross = phase == _CT_CROSS
+        mj_first_ix = g_arena(maj_ix, maj_f)
+        mj_first_iy = g_arena(maj_iy, maj_f)
+        mn_first_ix = g_arena(min_ix, min_f)
+        mn_first_iy = g_arena(min_iy, min_f)
+        # Both-hulls-single guard: in exact arithmetic two single-segment
+        # hulls cannot cross (the minorant's endpoint sits 2*lam ABOVE the
+        # majorant's), but the two hulls' merged incy sums round differently
+        # in f32 (different pop orders), and at lam = 0 a 1-ulp tie can fake
+        # a crossing whose knot would EMPTY a deque (the reference reads
+        # freed memory in the same case) and hang the lock-step loop.
+        both_single = (mj_size == 1) & (mn_size == 1)
+        crossing = in_cross & ~both_single & (
+            (mn_first_iy / dct(mn_first_ix))
+            < (mj_first_iy / dct(mj_first_ix)))
+        take_min = crossing & (mn_first_ix < mj_first_ix)
+        take_maj = crossing & ~take_min
+        no_cross = in_cross & ~crossing
+
+        # knot via the minorant's first segment: the majorant collapses to
+        # one segment ending at (lastexplored - lam) (reference :194-207).
+        rep_maj_ix = le_x - org_x - mn_first_ix
+        rep_maj_iy = le_y - lamv - org_y - mn_first_iy
+        # knot via the majorant's first segment (reference :209-222).
+        rep_min_ix = le_x - org_x - mj_first_ix
+        rep_min_iy = le_y + lamv - org_y - mj_first_iy
+
+        # ---------- flush ----------
+        in_flush = phase == _CT_FLUSH
+        fl_is_maj = flush_maj > 0
+        fl_f = jnp.where(fl_is_maj, maj_f, min_f)
+        fl_l = jnp.where(fl_is_maj, maj_l, min_l)
+        fl_ix = jnp.where(fl_is_maj, g_arena(maj_ix, fl_f),
+                          g_arena(min_ix, fl_f))
+        fl_iy = jnp.where(fl_is_maj, g_arena(maj_iy, fl_f),
+                          g_arena(min_iy, fl_f))
+        fl_emit = in_flush & (fl_f <= fl_l)
+        fl_done = in_flush & ~fl_emit
+
+        # ---------- merge next state ----------
+        # pending segment: pops accumulate; entering P_MIN / next P_MAJ resets.
+        i_next = jnp.where(no_cross, i + 1, i)
+        to_min = mj_push
+        to_cross = mn_push & (i < n - 1)
+        to_flush = mn_push & (i == n - 1)
+        to_maj = no_cross  # next point (i can reach n-1: final-point entry)
+
+        s_incx_next = jnp.where(mj_pop, s_incx + mj_last_ix,
+                       jnp.where(mn_pop, s_incx + mn_last_ix,
+                       jnp.where(to_min | to_maj, 1, s_incx)))
+        s_incy_next = jnp.where(mj_pop, s_incy + mj_last_iy,
+                       jnp.where(mn_pop, s_incy + mn_last_iy,
+                       jnp.where(to_min, fresh(i, -1.0),
+                       jnp.where(to_maj, fresh(i_next, 1.0), s_incy))))
+
+        # majorant arena: push on mj_push (at maj_l+1); replace on take_min
+        # (cleared to the single segment at slot 0).
+        mj_store = mj_push | take_min
+        mj_col = jnp.where(take_min, 0, maj_l + 1)
+        maj_ix = s_arena(maj_ix, mj_col,
+                         jnp.where(take_min, rep_maj_ix, s_incx), mj_store)
+        maj_iy = s_arena(maj_iy, mj_col,
+                         jnp.where(take_min, rep_maj_iy, s_incy), mj_store)
+        maj_l_next = jnp.where(mj_pop, maj_l - 1,
+                      jnp.where(mj_push, maj_l + 1,
+                      jnp.where(take_min, 0,
+                      jnp.where(fl_emit & fl_is_maj, maj_l, maj_l))))
+        maj_f_next = jnp.where(take_min, 0,
+                      jnp.where(take_maj, maj_f + 1,
+                      jnp.where(fl_emit & fl_is_maj, maj_f + 1, maj_f)))
+
+        # minorant arena
+        mn_store = mn_push | take_maj
+        mn_col = jnp.where(take_maj, 0, min_l + 1)
+        min_ix = s_arena(min_ix, mn_col,
+                         jnp.where(take_maj, rep_min_ix, s_incx), mn_store)
+        min_iy = s_arena(min_iy, mn_col,
+                         jnp.where(take_maj, rep_min_iy, s_incy), mn_store)
+        min_l_next = jnp.where(mn_pop, min_l - 1,
+                      jnp.where(mn_push, min_l + 1,
+                      jnp.where(take_maj, 0, min_l)))
+        min_f_next = jnp.where(take_maj, 0,
+                      jnp.where(take_min, min_f + 1,
+                      jnp.where(fl_emit & ~fl_is_maj, min_f + 1, min_f)))
+
+        # origin / lastexplored
+        knot_ix = jnp.where(take_min, mn_first_ix, mj_first_ix)
+        knot_iy = jnp.where(take_min, mn_first_iy, mj_first_iy)
+        org_x = jnp.where(crossing, org_x + knot_ix, org_x)
+        org_y = jnp.where(crossing, org_y + knot_iy, org_y)
+        le_x = jnp.where(to_cross, le_x + 1, le_x)
+        le_y = jnp.where(to_cross, le_y + gy(i), le_y)
+
+        # output records: knots and flush segments, scattered at run start.
+        emit = crossing | fl_emit
+        emit_ix = jnp.where(crossing, knot_ix, fl_ix)
+        emit_val = jnp.where(crossing, knot_iy / dct(knot_ix),
+                             fl_iy / dct(jnp.maximum(fl_ix, 1)))
+        col = jnp.where(emit, jnp.clip(opos, 0, n - 1), n)
+        out_val = out_val.at[rows, col].set(emit_val)
+        out_mark = out_mark.at[rows, col].set(True)
+        opos = jnp.where(emit, opos + emit_ix, opos)
+
+        # flush-side selection happens at the transition into P_FLUSH
+        flush_maj = jnp.where(
+            to_flush,
+            ((maj_l_next - maj_f_next) > (min_l_next - min_f_next)).astype(
+                jnp.int32),
+            flush_maj)
+
+        phase_next = jnp.where(mj_push, _CT_MIN,
+                      jnp.where(to_cross, _CT_CROSS,
+                      jnp.where(to_flush, _CT_FLUSH,
+                      jnp.where(no_cross, _CT_MAJ,
+                      jnp.where(fl_done, _CT_DONE, phase)))))
+
+        return (it + 1, phase_next, i_next, s_incx_next, s_incy_next,
+                maj_ix, maj_iy, maj_f_next, maj_l_next,
+                min_ix, min_iy, min_f_next, min_l_next,
+                org_x, org_y, le_x, le_y, opos, flush_maj, out_val, out_mark)
+
+    def cond(state):
+        # Event budget: each point costs <= 2 pushes + amortized pops +
+        # crossing/flush emissions — 8n + 64 bounds every lane.  The cap is
+        # a hardware watchdog guard only (an unbounded device while_loop
+        # kills the TPU worker); it is unreachable for well-formed runs.
+        return jnp.any(state[1] != _CT_DONE) & (state[0] < 8 * n + 64)
+
+    # init: both hulls seeded with the unit segment to the first tube point
+    # (reference :271-288); pending segment loaded for i = 1.
+    maj_ix0 = jnp.zeros((B, A), jnp.int32).at[:, 0].set(1)
+    maj_iy0 = jnp.zeros((B, A), dtype).at[:, 0].set(y[:, 0] - lamv)
+    min_ix0 = jnp.zeros((B, A), jnp.int32).at[:, 0].set(1)
+    min_iy0 = jnp.zeros((B, A), dtype).at[:, 0].set(y[:, 0] + lamv)
+    i0 = jnp.ones((B,), jnp.int32)
+    init = (
+        jnp.int32(0),
+        jnp.full((B,), _CT_MAJ, jnp.int32), i0,
+        jnp.ones((B,), jnp.int32),                     # s_incx
+        jnp.where(i0 == n - 1, y[:, -1] + lamv, gy(i0)),  # s_incy = fresh(1,+)
+        maj_ix0, maj_iy0,
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),  # maj f/l
+        min_ix0, min_iy0,
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),  # min f/l
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),      # origin
+        jnp.ones((B,), jnp.int32), y[:, 0],                      # lastexplored
+        jnp.zeros((B,), jnp.int32),                              # opos
+        jnp.zeros((B,), jnp.int32),                              # flush_maj
+        jnp.zeros((B, n + 1), dtype),
+        jnp.zeros((B, n + 1), bool),
+    )
+    *_, out_val, out_mark = jax.lax.while_loop(cond, body, init)
+
+    # x[j] = value of the nearest recorded run START <= j (forward fill).
+    idx = jnp.where(out_mark[:, :n], jnp.arange(n)[None, :], 0)
+    prev = jax.lax.associative_scan(jnp.maximum, idx, axis=1)
+    x = jnp.take_along_axis(out_val[:, :n], prev, axis=-1)
+    lam_e = jnp.broadcast_to(lamv[:, None], (B, n - 1))
+    return _apply_degenerate_guards(x, y, lam_e)
+
+
+# ---------------------------------------------------------------------------
 # Method dispatch (mirrors the reference Python method table,
 # prox_tv/__init__.py:163-172)
 # ---------------------------------------------------------------------------
@@ -842,14 +1112,16 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
                 cfg: TV1Config = DEFAULT_TV1, strict: bool = False):
     """Batched 1D TV-L1 prox with reference-compatible method names.
 
-    ``classictautstring``/``condattautstring``/``tautstring`` map to the
-    exact lock-step taut-string scan engine; ``linearizedtautstring``/
-    ``hybridtautstring`` likewise (the linearized taut string is the same
-    fixed point and scan structure); ``condat`` to the lock-step Condat
-    dual-variable engine (:func:`tv1_condat` — an independent algorithm,
-    reference ``src/condat_fast_tv.cpp:78``); ``dp``/``kolmogorov``/
-    ``johnson`` to the message-passing engine; ``pn`` to the batched
-    projected Newton.  All are exact to solver tolerance.
+    ``classictautstring`` maps to the lock-step classic hull-merge engine
+    (:func:`tv1_classic_ts` — reference ``src/TVL1opt_tautstring.cpp:256``);
+    ``condattautstring``/``tautstring``/``linearizedtautstring``/
+    ``hybridtautstring`` to the exact lock-step taut-string scan engine
+    (the linearized taut string is the same fixed point and scan
+    structure); ``condat`` to the lock-step Condat dual-variable engine
+    (:func:`tv1_condat` — an independent algorithm, reference
+    ``src/condat_fast_tv.cpp:78``); ``dp``/``kolmogorov``/``johnson`` to
+    the message-passing engine; ``pn`` to the batched projected Newton.
+    All are exact to solver tolerance.
 
     **Routing policy** (``strict``): with ``strict=False`` (the default used
     by the auto policy and the 2D/ND combiners) every method routes to the
@@ -872,6 +1144,25 @@ def tv1_batched(y, lam, method: str = "hybridtautstring",
     fused_ok = gating.gate(y, "pn")
     scan_methods = {"classictautstring", "linearizedtautstring",
                     "hybridtautstring", "condattautstring", "tautstring"}
+    if method == "classictautstring":
+        # The CLASSIC hull-merge taut string (reference
+        # src/TVL1opt_tautstring.cpp:256) is its own engine family; like
+        # Condat's it is unweighted (one lambda per signal).
+        lam_a = jnp.asarray(lam)
+        per_edge_w = lam_a.ndim >= 2 or (lam_a.ndim == 1
+                                         and lam_a.shape[0] == n - 1
+                                         and B != n - 1)
+        if per_edge_w:
+            if strict:
+                raise ValueError(
+                    "method='classictautstring' is unweighted (reference "
+                    "classicTautString_TV1 takes one lambda); use "
+                    "'tautstring'/'pn'/'dp' for per-edge weights")
+            method = "hybridtautstring"
+        elif strict or not fused_ok:
+            return tv1_classic_ts(y, lam)
+        else:
+            method = "pn"
     if method == "condat":
         # Condat's algorithm is unweighted (one lambda per signal,
         # src/condat_fast_tv.cpp:78).  Per-edge weights: strict raises (the

@@ -132,8 +132,8 @@ def test_zero_weight_edges(engine, rng):
 def test_all_methods_agree_batched(rng):
     """Reference _test_tv1_methods: all methods agree within 1e-3 on random
     signals (prox_tv_test.py:55-62), here in one batched call.  strict=True
-    guarantees each named engine actually runs (scan, Condat dual scan, DP,
-    PN — four independent algorithm families)."""
+    guarantees each named engine actually runs (scan, classic hull-merge,
+    Condat dual scan, DP, PN — five independent algorithm families)."""
     B, n = 20, 24
     y = jnp.asarray(rng.randn(B, n) * 2)
     lam = 0.75
@@ -170,6 +170,64 @@ def test_condat_engine_per_lane_lam_and_degenerate(rng):
         tv1d_l1.tv1_condat(jnp.asarray(Y[:1]), jnp.ones((1, n - 1)))
 
 
+def test_classic_tautstring_engine_matches_oracle(rng):
+    """The classic hull-merge taut-string engine (fifth independent family,
+    src/TVL1opt_tautstring.cpp:256) against the exact oracle, incl. tiny
+    sizes."""
+    for n in SIZES:
+        B = 8
+        Y = rng.randn(B, n) * 2
+        lam = float(rng.rand() + 0.1)
+        X = np.asarray(tv1d_l1.tv1_classic_ts(jnp.asarray(Y), lam))
+        for k in range(B):
+            ref = oracles.tv1_oracle(Y[k], lam)
+            np.testing.assert_allclose(X[k], ref, atol=1e-6, err_msg=f"n={n}")
+
+
+def test_classic_tautstring_per_lane_lam_and_degenerate(rng):
+    B, n = 6, 200
+    Y = rng.randn(B, n)
+    lams = jnp.asarray(np.concatenate([[0.0], 0.1 + rng.rand(B - 1) * 3]))
+    X = np.asarray(tv1d_l1.tv1_classic_ts(jnp.asarray(Y), lams))
+    np.testing.assert_allclose(X[0], Y[0], atol=0)  # lam = 0: identity
+    Xt = np.asarray(tv1d_l1.tv1_tautstring(
+        jnp.asarray(Y), jnp.broadcast_to(lams[:, None], (B, n - 1))))
+    np.testing.assert_allclose(X, Xt, atol=1e-10)
+    with pytest.raises(ValueError):  # per-edge weights: unweighted algorithm
+        tv1d_l1.tv1_classic_ts(jnp.asarray(Y[:1]), jnp.ones((1, n - 1)))
+
+
+def test_classic_tautstring_plateaus_and_huge_lam(rng):
+    """Hull merges degenerate hardest on plateaued signals (long pop runs);
+    huge lam exercises the whole-signal collapse path."""
+    plat = np.repeat(rng.randn(8), 25)[None, :] + 0.01 * rng.randn(1, 200)
+    Y = jnp.asarray(plat)
+    for lam in (0.05, 1.0, 1e4):
+        x1 = np.asarray(tv1d_l1.tv1_classic_ts(Y, lam))
+        x2 = np.asarray(tv1d_l1.tv1_tautstring(Y, lam))
+        np.testing.assert_allclose(x1, x2, atol=1e-9, err_msg=f"lam={lam}")
+    big = np.asarray(tv1d_l1.tv1_classic_ts(Y, 1e9))
+    np.testing.assert_allclose(big, np.mean(plat), atol=1e-8)
+
+
+def test_classic_tautstring_f32_tie_no_hang(rng):
+    """Regression (round 5): at lam = 0 on plateau data in f32, the two
+    hulls' merged sums round differently and a 1-ulp slope tie can fake a
+    crossing between two SINGLE-segment hulls — geometrically impossible,
+    and without the both-single guard the knot empties a deque and the
+    lock-step loop spins until the TPU watchdog kills the worker."""
+    truth = np.repeat(rng.randn(6), 30)
+    noisy = (truth + 0.3 * rng.randn(truth.size)).astype(np.float32)
+    y = jnp.asarray(noisy[None])
+    for lam in (0.0, 1e-7, 0.5):
+        x = np.asarray(tv1d_l1.tv1_classic_ts(y, lam))
+        xs = np.asarray(tv1d_l1.tv1_tautstring(
+            y, jnp.full((1, noisy.size - 1), lam, jnp.float32)))
+        np.testing.assert_allclose(x, xs, atol=1e-5, err_msg=f"lam={lam}")
+    np.testing.assert_allclose(
+        np.asarray(tv1d_l1.tv1_classic_ts(y, 0.0)), noisy, atol=0)
+
+
 def test_tv1_batched_routing_contract(rng, monkeypatch):
     """VERDICT r3 item 3: pin which engine runs for every (method, strict,
     gate) combination.  gating.gate is monkeypatched to simulate the
@@ -189,6 +247,7 @@ def test_tv1_batched_routing_contract(rng, monkeypatch):
     monkeypatch.setattr(tv1d_l1, "tv1_tautstring", rec("scan", y))
     monkeypatch.setattr(tv1d_l1, "tv1_dp", rec("dp", y))
     monkeypatch.setattr(tv1d_l1, "tv1_condat", rec("condat", y))
+    monkeypatch.setattr(tv1d_l1, "tv1_classic_ts", rec("classic", y))
     monkeypatch.setattr(tv1d_l1, "tv1_pn", rec("pn", (y, None)))
     monkeypatch.setattr(pn_fused, "pn_tv1_fused", rec("pn_fused", (y, None)))
 
@@ -201,7 +260,7 @@ def test_tv1_batched_routing_contract(rng, monkeypatch):
 
     # Gate open (single-device TPU f32): auto policy coerces to the fused
     # PN kernel; strict honors the named engine.
-    for m in ["hybridtautstring", "classictautstring", "condattautstring",
+    for m in ["hybridtautstring", "condattautstring",
               "linearizedtautstring", "tautstring"]:
         assert run(m, strict=False, gate_open=True) == "pn_fused"
         assert run(m, strict=True, gate_open=True) == "scan"
@@ -210,6 +269,8 @@ def test_tv1_batched_routing_contract(rng, monkeypatch):
         assert run(m, strict=True, gate_open=True) == "dp"
     assert run("condat", strict=False, gate_open=True) == "pn_fused"
     assert run("condat", strict=True, gate_open=True) == "condat"
+    assert run("classictautstring", strict=False, gate_open=True) == "pn_fused"
+    assert run("classictautstring", strict=True, gate_open=True) == "classic"
     # 'pn' IS the fused kernel's algorithm: fused either way when gated.
     assert run("pn", strict=False, gate_open=True) == "pn_fused"
     assert run("pn", strict=True, gate_open=True) == "pn_fused"
@@ -220,6 +281,7 @@ def test_tv1_batched_routing_contract(rng, monkeypatch):
         assert run("hybridtautstring", strict, gate_open=False) == "scan"
         assert run("dp", strict, gate_open=False) == "dp"
         assert run("condat", strict, gate_open=False) == "condat"
+        assert run("classictautstring", strict, gate_open=False) == "classic"
         assert run("pn", strict, gate_open=False) == "pn"
 
 

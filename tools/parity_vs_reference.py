@@ -55,6 +55,9 @@ def main(out_path=None):
     lib.hybridTautString_TV1.argtypes = [pd, ctypes.c_int, ctypes.c_double, pd]
     lib.TV1D_denoise.restype = None
     lib.TV1D_denoise.argtypes = [pd, pd, ctypes.c_int, ctypes.c_double]
+    lib.classicTautString_TV1.restype = ctypes.c_int
+    lib.classicTautString_TV1.argtypes = [pd, ctypes.c_int, ctypes.c_double,
+                                          pd]
     lib.tautString_TV1_Weighted.restype = ctypes.c_int
     lib.tautString_TV1_Weighted.argtypes = [pd, pd, pd, ctypes.c_int]
     lib.morePG_TV2.restype = ctypes.c_int
@@ -111,6 +114,17 @@ def main(out_path=None):
                np.abs(xoc - xc).max() < 1e-3,
                f"maxdiff={np.abs(xoc-xc).max():.2e}",
                maxdiff=np.abs(xoc - xc).max())
+        # Engine-vs-engine: our lock-step classic hull-merge taut string
+        # against the reference's own classicTautString_TV1
+        # (src/TVL1opt_tautstring.cpp:256) — same algorithm on both sides.
+        xct = np.zeros(n)
+        lib.classicTautString_TV1(y.ctypes.data_as(pd), n, lam,
+                                  xct.ctypes.data_as(pd))
+        xoct = np.asarray(tv1d_l1.tv1_classic_ts(y[None], lam))[0]
+        report(f"tv1_classic_ts_vs_classicTautString n={n}",
+               np.abs(xoct - xct).max() < 1e-3,
+               f"maxdiff={np.abs(xoct-xct).max():.2e}",
+               maxdiff=np.abs(xoct - xct).max())
 
     # --- weighted 1D ---
     for trial in range(2):
