@@ -223,7 +223,9 @@ def test_classic_tautstring_f32_tie_no_hang(rng):
         x = np.asarray(tv1d_l1.tv1_classic_ts(y, lam))
         xs = np.asarray(tv1d_l1.tv1_tautstring(
             y, jnp.full((1, noisy.size - 1), lam, jnp.float32)))
-        np.testing.assert_allclose(x, xs, atol=1e-5, err_msg=f"lam={lam}")
+        # 1e-4: f32 engines accumulating ~180-point cumsums in different
+        # orders legitimately differ by a few ulp of the running sums.
+        np.testing.assert_allclose(x, xs, atol=1e-4, err_msg=f"lam={lam}")
     np.testing.assert_allclose(
         np.asarray(tv1d_l1.tv1_classic_ts(y, 0.0)), noisy, atol=0)
 
