@@ -227,7 +227,7 @@ def test_classic_tautstring_f32_tie_no_hang(rng):
         # orders legitimately differ by a few ulp of the running sums.
         np.testing.assert_allclose(x, xs, atol=1e-4, err_msg=f"lam={lam}")
     np.testing.assert_allclose(
-        np.asarray(tv1d_l1.tv1_classic_ts(y, 0.0)), noisy, atol=0)
+        np.asarray(tv1d_l1.tv1_classic_ts(y, 0.0)), noisy[None], atol=0)
 
 
 def test_tv1_batched_routing_contract(rng, monkeypatch):
