@@ -557,12 +557,24 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
         lamc = jnp.asarray(lam, Y.dtype) * vc
         wr = wc = None
 
-    # Certificate cadence: the gap evaluation costs ~8 canvas passes — at one
-    # check per chunk that is ~40% overhead, so check every ~24 iterations.
-    cpc = max(1, 24 // k_steps)
+    # Certificate cadence.  With the in-kernel certificate (count == 1: the
+    # kernel reduces per-band gap/objective partials from VMEM at ~half an
+    # iteration's cost) every chunk is checked — finer stopping granularity
+    # at negligible price.  The multi-image canvas needs the XLA per-image
+    # certificate, which costs ~8 canvas passes — check every ~24 iterations.
+    use_kcert = B == 1
+    cpc = 1 if use_kcert else max(1, 24 // k_steps)
     cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
-    sched = PK.make_schedule(cap_pad, lam, sigma0, tau0, variant,
-                             cap_mult=sigma_cap_mult)
+    # Schedule rows are generated incrementally inside the loop body (see
+    # PK.sched_chunk) from this carried (sigma, tau) pair.
+    sig0f = jnp.asarray(sigma0, jnp.float32)
+    sched0 = (sig0f, jnp.asarray(tau0, jnp.float32))
+    lam_f = (jnp.asarray(1.0, jnp.float32) if weighted
+             else jnp.asarray(lam, jnp.float32))
+
+    def next_sched(carry):
+        return PK.sched_chunk(carry, k_steps, lam_f, sig0f,
+                              sigma_cap_mult, variant)
 
     # Same-size difference stencils on the (Mp, Np) canvas (kernel convention).
     def dr_(X):
@@ -623,24 +635,31 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
         return PK.pdhg_chunk(sd, x, xb, u1, u2, Ypad, k_steps=k_steps, tm=tm,
                              n_valid=N, m_valid=M, stride=S, count=B,
                              pad_top=halo, grad_step=(variant == "condat"),
-                             wr=wr, wc=wc)
+                             wr=wr, wc=wc, cert=use_kcert)
 
     def body(state):
-        x, xb, u1, u2, t, gap_b, iters_img, running = state
+        x, xb, u1, u2, sc, t, gap_b, iters_img, running = state
 
-        def one(_, st):
-            x, xb, u1, u2, t = st
-            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
-            x, xb, u1, u2 = chunk_call(sd, x, xb, u1, u2)
-            return x, xb, u1, u2, t + k_steps
+        if use_kcert:
+            sd, sc = next_sched(sc)
+            x2, xb2, u12, u22, gp, op = chunk_call(sd, x, xb, u1, u2)
+            t = t + k_steps
+            gap_new = jnp.sum(gp).reshape(1)
+            obj_b = jnp.sum(op).reshape(1)
+        else:
+            def one(_, st):
+                x, xb, u1, u2, sc, t = st
+                sd, sc = next_sched(sc)
+                x, xb, u1, u2 = chunk_call(sd, x, xb, u1, u2)
+                return x, xb, u1, u2, sc, t + k_steps
 
-        x2, xb2, u12, u22, t = jax.lax.fori_loop(
-            0, cpc, one, (x, xb, u1, u2, t))
+            x2, xb2, u12, u22, sc, t = jax.lax.fori_loop(
+                0, cpc, one, (x, xb, u1, u2, sc, t))
+            gap_new, obj_b, _ = gap_and_primal(u12, u22)
         iters_img = iters_img + cpc * k_steps * running.astype(jnp.int32)
-        gap_new, obj_b, _ = gap_and_primal(u12, u22)
         gap_b = jnp.where(running, gap_new, gap_b)
         running = running & still_running(gap_b, obj_b)
-        return x2, xb2, u12, u22, t, gap_b, iters_img, running
+        return x2, xb2, u12, u22, sc, t, gap_b, iters_img, running
 
     def cond(state):
         *_, t, gap_b, iters_img, running = state
@@ -656,10 +675,10 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
             X0 = Ypad - (drT_(u1_init) + dcT_(u2_init))
     else:
         u1_init = u2_init = zeros
-    init = (X0, X0, u1_init, u2_init, jnp.int32(0),
+    init = (X0, X0, u1_init, u2_init, sched0, jnp.int32(0),
             jnp.full((B,), jnp.inf, Y.dtype), jnp.zeros((B,), jnp.int32),
             jnp.ones((B,), bool))
-    x, xb, u1, u2, t, gap_b, iters_img, running = jax.lax.while_loop(
+    x, xb, u1, u2, _sc, t, gap_b, iters_img, running = jax.lax.while_loop(
         cond, body, init)
 
     gap_b, obj_b, xhat = gap_and_primal(u1, u2)

@@ -98,12 +98,12 @@ def pn_tile_rows(n: int, cap: int = 64) -> int:
 
 def pdhg2d_params(N: int, weighted: bool = False):
     """(k_steps, tm) for the temporally-blocked 2D PDHG kernel so the live
-    VMEM windows fit.  Empirically the Mosaic allocator holds ~14 (win, N)
-    f32 arrays live (5 scratch buffers + fori_loop state double-buffers +
-    stencil temporaries); the weighted kernel adds 2 scratch buffers and 2
-    masked-weight temporaries held across the loop (measured 18.84 live
-    windows from a 4K scoped-vmem OOM report — budget 20)."""
-    live = 20 if weighted else 14
+    VMEM windows fit.  The round-5 double-buffered kernel holds 2 x n_in
+    ping-pong window buffers (10 unweighted / 14 weighted) plus the
+    fori_loop state double-buffers, stencil temporaries, and the in-kernel
+    certificate's temporaries — budget ~21 / ~27 live (win, N) windows
+    against ~12 MB of schedulable VMEM."""
+    live = 27 if weighted else 21
     budget_rows = (12 << 20) // (live * 4 * max(N, 128))
     # k_steps must be a multiple of 4: the kernel's core-rows DMA slices the
     # VMEM window at offset halo = 2k, and Mosaic requires sublane slice

@@ -232,15 +232,13 @@ def test_gating_budget_formulas_pinned():
     assert gating.pn_tile_rows(8192, cap=64) == 8   # floor
     assert gating.pn_tile_rows(6400, cap=64) == 8
 
-    # 2D PDHG (k_steps, tm) pairs at bench-relevant widths.
-    assert gating.pdhg2d_params(1024) == (12, 168)
-    assert gating.pdhg2d_params(2048) == (8, 72)
-    assert gating.pdhg2d_params(4096) == (4, 32)
-    assert gating.pdhg2d_params(128) == (12, 1704)
-    # Weighted kernel: 2 more scratch buffers + 2 live weight temporaries
-    # (measured 18.84 live windows at 4K — budget 20).
-    assert gating.pdhg2d_params(1024, weighted=True) == (12, 104)
-    assert gating.pdhg2d_params(3840, weighted=True) == (4, 24)
+    # 2D PDHG (k_steps, tm) pairs at bench-relevant widths (round-5
+    # double-buffered kernel: 2 x n_in ping-pong windows live).
+    assert gating.pdhg2d_params(1024) == (12, 96)
+    assert gating.pdhg2d_params(2048) == (4, 56)
+    assert gating.pdhg2d_params(128) == (12, 1120)
+    assert gating.pdhg2d_params(1024, weighted=True) == (8, 80)
+    assert gating.pdhg2d_params(2176) == (4, 48)
     # k_steps must stay a multiple of 4 (Mosaic sublane-slice constraint).
     for n in (128, 1024, 2048, 3840, 4096, 8192):
         for w in (False, True):
