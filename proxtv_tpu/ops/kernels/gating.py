@@ -60,6 +60,7 @@ _KIND_LANE_LIMITS = {
     "pn": (2, 8192),        # fused projected Newton (ops/kernels/pn_fused.py)
     "ms": (2, 8192),        # fused More-Sorensen (ops/kernels/ms_fused.py)
     "pn_window": (2, 8192),  # long-signal window solve (ops/tv1d_long.py)
+    "lp": (2, 8192),        # fused GPFW TV-Lp loop (ops/kernels/lp_fused.py)
     "pdhg2d": (1, 8192),    # 2D PDHG stencil (ops/kernels/pdhg_fused.py)
     "pdhg3d": (1, 2048),    # 3D PDHG stencil (ops/kernels/pdhg3d_fused.py)
     "pcr": (2, 8192),       # standalone PCR tridiagonal kernel (ops/tridiag.py)

@@ -44,6 +44,7 @@ from ..utils.config import DEFAULT_TVP, TVpConfig
 from ..utils.info import RC_ITERS, RC_OK, make_info
 from ..utils.lpnorms import P_LARGE, P_SMALL, lp_norm
 from . import lp, tridiag
+from .kernels import gating
 
 _L_LIPSCHITZ = 4.0  # lambda_max(DD') < 4 (reference src/TVLPopt.cpp:45)
 
@@ -317,6 +318,53 @@ def tvp_fw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP, max_iters: int = 0):
     return _run_fw(y, lam, p, cfg, max_iters, 0)
 
 
+def _fused_lp_ok(y, p: float) -> bool:
+    """Route the GPFW driver to the fused Pallas kernel: TPU, f32, n within
+    the VMEM window, and the dual exponent q = p/(p-1) inside the joint-KKT
+    Newton's always-converges range ([1.12, 3.1] in f32, the same gate as
+    ``lp._lp_ball_project_general``) — p in ~[1.47, 9.3]."""
+    if p <= P_SMALL or p >= P_LARGE or p == 2.0:
+        return False
+    q = lp.dual_p(p)
+    return 1.12 <= q <= 3.1 and y.shape[-1] >= 2 and gating.gate(y, "lp")
+
+
+def _run_gpfw_fused(y, lam, p: float, cfg: TVpConfig, max_iters: int,
+                    w_init=None, mu_init=None, return_state: bool = False):
+    """GPFW driver with the iteration loop fused into one Pallas kernel
+    (:mod:`proxtv_tpu.ops.kernels.lp_fused`): the exact setup/finalize
+    (centering, unconstrained tridiagonal dual, interior / zero-penalty
+    exits, primal reconstruction) stay in XLA; the many-iteration hybrid
+    FW/GP loop runs VMEM-resident.  Same stopping contract (Holder duality
+    gap <= cfg.stop relative tolerance) as :func:`_run_fw`; iteration counts
+    are reported at fw-cycle granularity."""
+    from .kernels import lp_fused
+
+    (y, ybar, B, n, dtype, lamv, dy, q, w0, interior,
+     zero_pen) = _common_setup(y, lam, p)
+    cap = int(max_iters) if max_iters else cfg.max_iters_fw
+    if w_init is None:
+        w_start, mu0 = lp.lp_ball_project_ws(w0, lamv, q, None)
+    else:
+        w_start, mu0 = lp.lp_ball_project_ws(jnp.asarray(w_init, dtype),
+                                             lamv, q, mu_init)
+    if mu0 is None:
+        mu0 = jnp.ones((B,), dtype)
+    run_mask = (~interior & ~zero_pen).astype(dtype)
+    w_pad = jnp.concatenate([w_start, jnp.zeros((B, 1), dtype)], axis=-1)
+    w_k, mu, _gap, it_f = lp_fused.gpfw_fused(
+        y, w_pad, lamv, mu0, run_mask, p=p, max_iters=cap,
+        fw_cycles=cfg.fw_cycles, stop_rel=cfg.stop)
+    w = w_k[:, : n - 1]
+    iters = jnp.floor(it_f).astype(jnp.int32)
+    running = (it_f - jnp.floor(it_f)) > 0.25  # kernel's still-running marker
+    out = _finalize(y, ybar, w, lamv, p, interior, zero_pen, w0, iters,
+                    running)
+    if return_state:
+        return out + ((w, mu),)
+    return out
+
+
 def tvp_gpfw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP,
              max_iters: int = 0, w_init=None, mu_init=None,
              return_state: bool = False):
@@ -324,7 +372,14 @@ def tvp_gpfw(y, lam, p: float, cfg: TVpConfig = DEFAULT_TVP,
 
     Falls back to pure GP for p > cfg.p_gp_only (reference :1144-1145: the FW
     oracle's |g|^{p-1} powers are ill-conditioned at large p).  ``w_init`` /
-    ``mu_init`` / ``return_state``: warm-start threading for combiners."""
+    ``mu_init`` / ``return_state``: warm-start threading for combiners.
+
+    On TPU/f32 with q = p/(p-1) in the joint-KKT range, the whole iteration
+    loop runs as ONE fused Pallas kernel (ops/kernels/lp_fused.py)."""
+    y = jnp.asarray(y)
+    if _fused_lp_ok(y, p):
+        return _run_gpfw_fused(y, lam, p, cfg, max_iters, w_init=w_init,
+                               mu_init=mu_init, return_state=return_state)
     if p > cfg.p_gp_only:
         return tvp_gp(y, lam, p, cfg=cfg, max_iters=max_iters, w_init=w_init,
                       mu_init=mu_init, return_state=return_state)

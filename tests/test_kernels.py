@@ -339,3 +339,58 @@ def test_pdhg_dual_warm_restart(rng):
     # one certificate period still runs, so the two certified optima differ
     # at the usual cross-method level
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-3)
+
+
+def test_lp_fused_matches_xla_gpfw(rng):
+    """The fused GPFW kernel (interpret mode) reaches the same certified
+    optimum as the XLA GPFW driver at p in {1.5, 3, 5}: both stop on the
+    same relative Holder-gap contract, so objectives must agree within it."""
+    from proxtv_tpu.ops import tv1d_lp
+    from proxtv_tpu.utils.config import DEFAULT_TVP as CFG
+
+    # n = 300 > 128 exercises the lane-padded row-scalar broadcast (a bug
+    # here once escaped the n <= 128 cases, where n_pad == 128 hides it).
+    y = jnp.asarray(rng.randn(16, 300))
+    lam = 0.7
+    for p in (1.5, 3.0, 5.0):
+        x_ref, i_ref = tv1d_lp._run_fw(y, lam, p, CFG, 0, CFG.fw_cycles)
+        x_f, i_f = tv1d_lp._run_gpfw_fused(y, lam, p, CFG, 0)
+        assert np.all(np.asarray(i_f.rc) == 0), p
+
+        def obj(X):
+            X = np.asarray(X)
+            g = np.abs(np.diff(X, axis=1))
+            return (0.5 * np.sum((X - np.asarray(y)) ** 2, axis=1)
+                    + lam * np.sum(g ** p, axis=1) ** (1.0 / p))
+
+        np.testing.assert_allclose(obj(x_f), obj(x_ref), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   atol=5e-3)
+
+
+def test_lp_fused_degenerate_and_warm(rng):
+    """lam = 0 -> identity; huge lam -> per-signal mean; per-signal lam
+    vector; warm restart from converged state certifies in 0 iterations."""
+    from proxtv_tpu.ops import tv1d_lp
+    from proxtv_tpu.utils.config import DEFAULT_TVP as CFG
+
+    y = jnp.asarray(rng.randn(8, 64))
+    x0, _ = tv1d_lp._run_gpfw_fused(y, 0.0, 1.5, CFG, 0)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(y), atol=1e-12)
+    xh, _ = tv1d_lp._run_gpfw_fused(y, 1e6, 1.5, CFG, 0)
+    np.testing.assert_allclose(
+        np.asarray(xh), np.asarray(jnp.mean(y, axis=1, keepdims=True)
+                                   * jnp.ones_like(y)), atol=1e-10)
+    # mixed per-signal penalties, including a zero lane
+    lamv = jnp.asarray([0.0, 0.3, 1.0, 3.0, 0.5, 2.0, 0.7, 1e5])
+    xm, im = tv1d_lp._run_gpfw_fused(y, lamv, 3.0, CFG, 0)
+    np.testing.assert_allclose(np.asarray(xm)[0], np.asarray(y)[0],
+                               atol=1e-12)
+    assert np.all(np.asarray(im.rc) == 0)
+    # warm restart
+    x1, i1, (w1, mu1) = tv1d_lp._run_gpfw_fused(y, 0.5, 1.5, CFG, 0,
+                                                return_state=True)
+    x2, i2 = tv1d_lp._run_gpfw_fused(y, 0.5, 1.5, CFG, 0, w_init=w1,
+                                     mu_init=mu1)
+    assert np.asarray(i2.iters).max() == 0
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-6)
