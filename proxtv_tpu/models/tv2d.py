@@ -808,8 +808,13 @@ def _run_pdhg_fused_banded(Yl, lam, Wr=None, Wc=None, *, cap, cfg,
 
     cpc = max(1, 24 // k_steps)
     cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
-    sched = PK.make_schedule(cap_pad, jnp.asarray(lam, dtype), sigma0, tau0,
-                             variant, cap_mult=cap_mult)
+    # Schedule rows are generated incrementally from a carried (sigma, tau)
+    # (PK.sched_chunk), enabling the same gap-stall restart as the
+    # single-device driver.  Every restart predicate is derived from the
+    # PSUM'D gap, so all devices branch identically.
+    sig0_f = jnp.asarray(sigma0, jnp.float32)
+    tau0_f = jnp.asarray(tau0, jnp.float32)
+    lam_f = jnp.asarray(lam, jnp.float32)
 
     up = [(i, i - 1) for i in range(1, n_dev)]      # send to device above
     down = [(i, i + 1) for i in range(n_dev - 1)]   # send to device below
@@ -897,34 +902,52 @@ def _run_pdhg_fused_banded(Yl, lam, Wr=None, Wc=None, *, cap, cfg,
                              pad_top=roff, grad_step=(variant == "condat"),
                              wr=Wrpad, wc=Wcpad)
 
+    # Gap-stall restart (same controller as the single-device driver, at
+    # the banded certificate cadence: the stall window spans LOOK gap
+    # checks = LOOK * cpc chunks).
+    LOOK, DECAY, GROW = 3, 0.7, 4.0
+    restart = variant == "cp-acc"
+
     def body(state):
-        x, xb, u1, u2, t, gap_b, iters, running = state
+        x, xb, u1, u2, sc, cap_mult_d, hist, t, gap_b, iters, running = state
 
         def one(_, st):
-            x, xb, u1, u2, t = st
+            x, xb, u1, u2, sc, t = st
             x, xb = exchange(x), exchange(xb)
             u1, u2 = exchange(u1), exchange(u2)
-            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 4))
+            sd, sc = PK.sched_chunk(sc, k_steps, lam_f, sig0_f,
+                                    cap_mult_d, variant)
             x, xb, u1, u2 = chunk_call(sd, x, xb, u1, u2)
-            return x, xb, u1, u2, t + k_steps
+            return x, xb, u1, u2, sc, t + k_steps
 
-        x, xb, u1, u2, t = jax.lax.fori_loop(0, cpc, one, (x, xb, u1, u2, t))
+        x, xb, u1, u2, sc, t = jax.lax.fori_loop(
+            0, cpc, one, (x, xb, u1, u2, sc, t))
         iters = iters + cpc * k_steps * running.astype(jnp.int32)
         u1e, u2e = exchange(u1), exchange(u2)
         gap_new, obj, _ = gap_and_primal(u1e, u2e)
+        if restart:
+            stall = gap_new > DECAY * hist[0]
+            sc = (jnp.where(stall, sig0_f, sc[0]),
+                  jnp.where(stall, tau0_f, sc[1]))
+            cap_mult_d = jnp.where(stall, cap_mult_d * GROW, cap_mult_d)
+            hist = jnp.concatenate(
+                [hist[1:], gap_new.reshape(1).astype(jnp.float32)])
         gap_b = jnp.where(running, gap_new, gap_b)
         running = running & (gap_b > gtol * jnp.maximum(1.0, obj))
-        return x, xb, u1, u2, t, gap_b, iters, running
+        return (x, xb, u1, u2, sc, cap_mult_d, hist, t, gap_b, iters,
+                running)
 
     def cond(state):
         *_, t, gap_b, iters, running = state
         return (t < cap_pad) & running
 
     zeros = jnp.zeros_like(Ypad)
-    init = (Ypad, Ypad, zeros, zeros, jnp.int32(0),
+    init = (Ypad, Ypad, zeros, zeros, (sig0_f, tau0_f),
+            jnp.asarray(cap_mult, jnp.float32),
+            jnp.full((LOOK,), jnp.inf, jnp.float32), jnp.int32(0),
             jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.asarray(True))
-    x, xb, u1, u2, t, gap_b, iters, running = jax.lax.while_loop(
-        cond, body, init)
+    (x, xb, u1, u2, _sc, _cm, _h, t, gap_b, iters,
+     running) = jax.lax.while_loop(cond, body, init)
 
     u1e, u2e = exchange(u1), exchange(u2)
     gap_b, obj, xhat = gap_and_primal(u1e, u2e)

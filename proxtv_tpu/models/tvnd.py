@@ -229,8 +229,14 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
     # Certificate cadence (see tv2d._run_pdhg_fused): check every ~24 iters.
     cpc = max(1, 24 // k_steps)
     cap_pad = -(-cap // (cpc * k_steps)) * (cpc * k_steps)
-    sched = PK3.make_schedule3(cap_pad, (lam_N, lam_M, lam_L), sigma0, tau0,
-                               variant, cap_mult=cap_mult)
+    # Incremental schedule from a carried (sigma, tau) + the same gap-stall
+    # restart controller as the 2D driver (stall window spans LOOK
+    # certificate checks; the stall statistic is the gap summed over
+    # still-running volumes, which reduces to the per-image gap at B = 1).
+    sig0_f = jnp.asarray(sigma0, jnp.float32)
+    tau0_f = jnp.asarray(tau0, jnp.float32)
+    LOOK, DECAY, GROW = 3, 0.7, 4.0
+    restart = variant == "cp-acc"
 
     def dT(U, axis):
         z = jnp.zeros_like(jnp.take(U, jnp.arange(1), axis=axis))
@@ -286,32 +292,45 @@ def _run_pdhg3d_fused(Y, lams_by_dim, cap, cfg, variant: str, gap_tol=None,
                                 grad_step=(variant == "condat"))
 
     def body(state):
-        x, xb, u1, u2, u3, t, gap_b, iters_img, running = state
+        (x, xb, u1, u2, u3, sc, cap_mult_d, hist, t, gap_b, iters_img,
+         running) = state
 
         def one(_, st):
-            x, xb, u1, u2, u3, t = st
-            sd = jax.lax.dynamic_slice(sched, (t, jnp.int32(0)), (k_steps, 6))
+            x, xb, u1, u2, u3, sc, t = st
+            sd, sc = PK3.sched_chunk3(sc, k_steps, (lam_N, lam_M, lam_L),
+                                      sig0_f, cap_mult_d, variant)
             x, xb, u1, u2, u3 = chunk_call(sd, x, xb, u1, u2, u3)
-            return x, xb, u1, u2, u3, t + k_steps
+            return x, xb, u1, u2, u3, sc, t + k_steps
 
-        x2, xb2, u12, u22, u32, t = jax.lax.fori_loop(
-            0, cpc, one, (x, xb, u1, u2, u3, t))
+        x2, xb2, u12, u22, u32, sc, t = jax.lax.fori_loop(
+            0, cpc, one, (x, xb, u1, u2, u3, sc, t))
         iters_img = iters_img + cpc * k_steps * running.astype(jnp.int32)
         gap_new, obj_b, _ = gap_and_primal(u12, u22, u32)
+        if restart:
+            gsum = jnp.sum(jnp.where(running, gap_new, 0.0)
+                           ).astype(jnp.float32)
+            stall = gsum > DECAY * hist[0]
+            sc = (jnp.where(stall, sig0_f, sc[0]),
+                  jnp.where(stall, tau0_f, sc[1]))
+            cap_mult_d = jnp.where(stall, cap_mult_d * GROW, cap_mult_d)
+            hist = jnp.concatenate([hist[1:], gsum.reshape(1)])
         gap_b = jnp.where(running, gap_new, gap_b)
         running = running & still_running(gap_b, obj_b)
-        return x2, xb2, u12, u22, u32, t, gap_b, iters_img, running
+        return (x2, xb2, u12, u22, u32, sc, cap_mult_d, hist, t, gap_b,
+                iters_img, running)
 
     def cond(state):
         *_, t, gap_b, iters_img, running = state
         return (t < cap_pad) & jnp.any(running)
 
     zeros = jnp.zeros_like(Ypad)
-    init = (Ypad, Ypad, zeros, zeros, zeros, jnp.int32(0),
+    init = (Ypad, Ypad, zeros, zeros, zeros, (sig0_f, tau0_f),
+            jnp.asarray(cap_mult, jnp.float32),
+            jnp.full((LOOK,), jnp.inf, jnp.float32), jnp.int32(0),
             jnp.full((B,), jnp.inf, Y.dtype), jnp.zeros((B,), jnp.int32),
             jnp.ones((B,), bool))
-    x, xb, u1, u2, u3, t, gap_b, iters_img, running = jax.lax.while_loop(
-        cond, body, init)
+    (x, xb, u1, u2, u3, _sc, _cm, _h, t, gap_b, iters_img,
+     running) = jax.lax.while_loop(cond, body, init)
 
     gap_b, obj_b, xhat = gap_and_primal(u1, u2, u3)
     out = xhat[hl:hl + B * S].reshape(B, S, Mp, Np)[:, :L, hm:hm + M, :N]

@@ -205,6 +205,31 @@ def best_params(N, slots: int = 21, vmem_bytes: int = 14 << 20):
     return best
 
 
+def sched_chunk3(carry, k_steps, lams, sigma0, cap_mult, variant):
+    """Next ``k_steps`` rows of the (sigma, tau, theta, lam_N, lam_M, lam_L)
+    schedule from a carried (sigma, tau) pair — the incremental form of
+    :func:`make_schedule3` (see pdhg_fused.sched_chunk for why: the full
+    cap-length scan cost ~20% of a whole 2D solve, and the carried pair is
+    what lets the driver do gap-stall restarts)."""
+    lams = [jnp.asarray(l, jnp.float32) for l in lams]
+    acc = variant == "cp-acc"
+
+    def step(c, _):
+        sig, tau = c
+        if acc:
+            theta = jnp.where(sig < cap_mult * sigma0,
+                              1.0 / jnp.sqrt(1.0 + 2.0 * tau), 1.0)
+            nxt = (sig / theta, tau * theta)
+        else:
+            theta = jnp.asarray(1.0, jnp.float32)
+            nxt = c
+        return nxt, jnp.stack([sig, tau, theta] + lams)
+
+    carry, rows = jax.lax.scan(step, carry, None, length=k_steps,
+                               unroll=k_steps)
+    return rows, carry
+
+
 def make_schedule3(max_iters, lams, sigma0, tau0, variant, cap_mult=2.0):
     """(max_iters, 6) [sigma, tau, theta, lam_N, lam_M, lam_L] schedule (the
     3D analog of pdhg_fused.make_schedule; per-axis penalties)."""
