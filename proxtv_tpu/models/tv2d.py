@@ -651,7 +651,7 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
     #   saturated-sigma stall the cap exists to prevent); plain-CP
     #   residual-balancing (Goldstein) diverges at lam_rel >= 1; periodic
     #   restarts lose to stall-triggered at every period tried.
-    restart = variant == "cp-acc" and use_kcert
+    restart = variant == "cp-acc"
     # hist holds the last LOOK gaps; the stall compare is against the gap
     # LOOK chunks before the current one (the lab's g[-1] > 0.7 g[-4]).
     # NOTE the window deliberately KEEPS sliding through restarts — while
@@ -686,13 +686,29 @@ def _run_pdhg_fused(Y, lam, cap, tol, cfg, variant: str,
         else:
             def one(_, st):
                 x, xb, u1, u2, sc, t = st
-                sd, sc = next_sched(sc)
+                if restart:
+                    sd, sc = PK.sched_chunk(sc, k_steps, lam_f, sig0f,
+                                            cap_mult_d, variant)
+                else:
+                    sd, sc = next_sched(sc)
                 x, xb, u1, u2 = chunk_call(sd, x, xb, u1, u2)
                 return x, xb, u1, u2, sc, t + k_steps
 
             x2, xb2, u12, u22, sc, t = jax.lax.fori_loop(
                 0, cpc, one, (x, xb, u1, u2, sc, t))
             gap_new, obj_b, _ = gap_and_primal(u12, u22)
+            if restart:
+                # Multi-image canvas: one global (sigma, tau) — the stall
+                # statistic is the gap summed over still-running images
+                # (reduces to the per-image gap at B = 1).
+                gsum = jnp.sum(jnp.where(running, gap_new, 0.0)
+                               ).astype(jnp.float32)
+                stall = gsum > DECAY * hist[0]
+                sc = (jnp.where(stall, sig0f, sc[0]),
+                      jnp.where(stall, jnp.asarray(tau0, jnp.float32),
+                                sc[1]))
+                cap_mult_d = jnp.where(stall, cap_mult_d * GROW, cap_mult_d)
+                hist = jnp.concatenate([hist[1:], gsum.reshape(1)])
         iters_img = iters_img + cpc * k_steps * running.astype(jnp.int32)
         gap_b = jnp.where(running, gap_new, gap_b)
         running = running & still_running(gap_b, obj_b)
