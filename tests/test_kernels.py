@@ -394,3 +394,19 @@ def test_lp_fused_degenerate_and_warm(rng):
                                      mu_init=mu1)
     assert np.asarray(i2.iters).max() == 0
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-6)
+
+
+def test_pdhg_restart_breaks_high_lam_iteration_law(rng):
+    """The gap-stall restart controller (round 5): at lam_rel = 3 the static
+    (lam_rel/0.3)^1.5 schedule needed 3372 iterations on this instance; the
+    restarted schedule certifies in <= 1500 (measured 864). Guards against
+    the controller being silently disabled."""
+    from proxtv_tpu.models import tv2d
+    from proxtv_tpu.utils.config import DEFAULT_COMBINER as CFG
+
+    Y = jnp.asarray(rng.randn(1, 48, 48).astype(np.float32))
+    with tv2d._fused_ctx(True):
+        x, info = tv2d._run_pdhg_fused(Y, lam=3.0, cap=6000, tol=CFG.stop,
+                                       cfg=CFG, variant="cp-acc")
+    assert int(np.asarray(info.rc)[0]) == 0
+    assert int(np.asarray(info.iters)[0]) <= 1500, np.asarray(info.iters)
