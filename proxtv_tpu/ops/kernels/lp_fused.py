@@ -257,7 +257,11 @@ def gpfw_fused(y, w0, lam, mu0, run_mask, p: float, max_iters: int,
     dtype = y.dtype
     q = p / (p - 1.0)
     if not tb:
-        tb = gating.pn_tile_rows(n, cap=64)
+        # cap 32 (not the PN kernels' 64): the trip body's projection +
+        # FW temporaries hold ~55 live (tb, n_pad) arrays under Mosaic's
+        # double-buffering — 64 rows at n_pad = 1024 would brush the 16M
+        # scoped-VMEM limit.
+        tb = gating.pn_tile_rows(n, cap=32)
     tb = max(8, (min(tb, max(8, B)) // 8) * 8)
     n_pad = -(-n // 128) * 128
     grid = (-(-common.pad_rows(y, tb).shape[0] // tb),)
