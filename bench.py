@@ -431,29 +431,45 @@ def measure_tpu(base):
     # same sync, so amortizing it over 100 reps (<3% inflation on every
     # metric here) is the honest sustained-rate measurement.
     reps = 100
+    # Per-row dispersion record (VERDICT r4 item 4): every labeled row
+    # reports its per-batch times so BENCH artifacts carry error bars
+    # instead of best-of-two scalars.
+    dispersion = {}
 
-    def timed(f, *args, n_reps=None, **kw):
+    def timed(f, *args, n_reps=None, label=None, **kw):
         # Sub-5 ms rows pass n_reps=400: the axon tunnel's per-dispatch
         # overhead (measured 0.34-0.79 ms/call depending on pipeline depth
         # and day) would otherwise inflate them by tens of percent.
-        # Best-of-two batches: the shared tunnel occasionally stalls for
-        # seconds mid-run (observed a 90x outlier on one row), and a single
-        # contaminated batch would understate the row by that much.
+        # Median of >= 5 batches: the shared tunnel occasionally stalls for
+        # seconds mid-run (observed a 90x outlier on one row); the median is
+        # robust to <= 2 contaminated batches AND honest about sustained
+        # rate (a best-of scalar hides run-to-run drift — the r2->r4
+        # "9% flagship slide" turned out to be exactly that).
         n_reps = n_reps or reps
+        n_batches = 5
+        per = max(1, n_reps // n_batches)
         r = f(*args, **kw)
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
-        best = float("inf")
-        for _half in range(2):
+        ts = []
+        for _b in range(n_batches):
             t0 = time.time()
-            for _i in range(n_reps // 2):
+            for _i in range(per):
                 r = f(*args, **kw)
             _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
-            best = min(best, (time.time() - t0) / (n_reps // 2))
-        return best
+            ts.append((time.time() - t0) / per)
+        med = float(np.median(ts))
+        if label:
+            q1, q3 = np.percentile(ts, [25, 75])
+            dispersion[label] = {
+                "median_ms": round(med * 1e3, 4),
+                "iqr_ms": [round(float(q1) * 1e3, 4),
+                           round(float(q3) * 1e3, 4)],
+                "batches": n_batches, "reps_per_batch": per}
+        return med
 
     f2d = jax.jit(lambda Y: tv2d.tv1_2d_batched(
         Y, LAM, method="chambolle-pock-acc", max_iters=2500)[0])
-    t_2d = timed(f2d, Y)
+    t_2d = timed(f2d, Y, label="2d_1024")
     Xn = np.asarray(f2d(Y))[0]
     obj_2d = (0.5 * np.sum((Xn - Yn) ** 2)
               + LAM * (np.abs(np.diff(Xn, axis=0)).sum()
@@ -461,7 +477,7 @@ def measure_tpu(base):
 
     Y1 = jnp.asarray(rng.randn(B1, N1).astype(np.float32))
     f1d = jax.jit(lambda Y: tv1d_l1.tv1_batched(Y, LAM1, method="pn"))
-    t_1d = timed(f1d, Y1)
+    t_1d = timed(f1d, Y1, label="1d_batch")
 
     # Secondary BASELINE configs: weighted 1D, TV-L2, TV-Lp, weighted 2D,
     # 3D video (Yang), single huge 1D signal.
@@ -471,7 +487,7 @@ def measure_tpu(base):
     # ---- 2D at 4K UHD (same fused engine; BASELINE.md's 4K row) ----
     f4k = jax.jit(lambda Y: tv2d.tv1_2d_batched(
         Y, LAM, method="chambolle-pock-acc", max_iters=2500)[0])
-    t_2d4k = timed(f4k, Y4)
+    t_2d4k = timed(f4k, Y4, label="2d_4k")
     X4n = np.asarray(f4k(Y4))[0]
     Y4n = np.asarray(Y4)[0]
     obj_2d4k = float(0.5 * np.sum((X4n - Y4n) ** 2)
@@ -491,20 +507,20 @@ def measure_tpu(base):
         def fband():
             return psharded.tv1_2d_banded(Y4s, LAM, mesh1)[0]
 
-        t_band4k = timed(fband)
+        t_band4k = timed(fband, label="2d_banded_4k")
 
     W1 = jnp.asarray((0.5 + rng.rand(B1, N1 - 1)).astype(np.float32))
     t_1dw = timed(jax.jit(lambda Y, W: tv1d_l1.tv1_batched(Y, W, method="pn")),
-                  Y1, W1)
-    t_l2 = timed(jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, 1.0)[0]), Y1)
+                  Y1, W1, label="1dw")
+    t_l2 = timed(jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, 1.0)[0]), Y1, label="l2")
     t_lp15 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 1.5)[0]),
-                   Y1[:512])
+                   Y1[:512], label="lp15")
     t_lp3 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 3.0)[0]),
-                  Y1[:512])
+                  Y1[:512], label="lp3")
     # p = 5 exercises the nested-root-find projection (outside the
     # joint-Newton gate) so the fallback path's throughput is also proven.
     t_lp5 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 5.0)[0]),
-                  Y1[:512])
+                  Y1[:512], label="lp5")
 
     # Weighted 2D and 3D: equal-objective mode (BASELINE.md contract — run to
     # the reference's achieved objective; the per-image duality-gap
@@ -523,7 +539,8 @@ def measure_tpu(base):
             tol=DEFAULT_COMBINER.stop, cfg=DEFAULT_COMBINER,
             variant="cp-acc"))
         with tv2d._fused_ctx(True):
-            t_2dw = timed(f2dw, Y, W_col=Wc2, W_row=Wr2, obj_target=tgt)
+            t_2dw = timed(f2dw, Y, W_col=Wc2, W_row=Wr2, obj_target=tgt,
+                          label="2dw")
             Xw, _ = f2dw(Y, W_col=Wc2, W_row=Wr2, obj_target=tgt)
         Xwn, Wcn, Wrn = np.asarray(Xw)[0], np.asarray(Wc2)[0], np.asarray(Wr2)[0]
         obj_2dw = float(0.5 * np.sum((Xwn - Yn) ** 2)
@@ -541,7 +558,7 @@ def measure_tpu(base):
         f3d = jax.jit(functools.partial(
             tvnd._run_pdhg3d_fused, lams_by_dim=(0.3, 0.3, 0.3), cap=2500,
             cfg=DEFAULT_COMBINER, variant="cp-acc"))
-        t_3d = timed(f3d, V, obj_target=tgt3)
+        t_3d = timed(f3d, V, obj_target=tgt3, label="3d")
         XV, _ = f3d(V, obj_target=tgt3)
         XVn, Vn = np.asarray(XV)[0], np.asarray(V)[0]
         obj_3d = float(0.5 * np.sum((XVn - Vn) ** 2)
@@ -559,19 +576,19 @@ def measure_tpu(base):
     ylong = jnp.asarray((np.cumsum(rng.randn(NLONG)) * 0.05
                          + rng.randn(NLONG)).astype(np.float32))
     flong = jax.jit(lambda y: tv1d_long.tv1_long(y, LAM1)[0])
-    t_long = timed(flong, ylong, n_reps=400)
+    t_long = timed(flong, ylong, n_reps=400, label="long1d")
 
     # Long single-signal TV-L2 / TV-Lp at the same n (certificate-stopped;
     # equal-objective checks against the reference run in main()).
     ylong2 = ylong[None]
     f_l2l = jax.jit(lambda Y: tv1d_l2.tv2_ms(Y, LAMLONG)[0])
-    t_long_l2 = timed(f_l2l, ylong2, n_reps=400)
+    t_long_l2 = timed(f_l2l, ylong2, n_reps=400, label="long_l2")
     x_l2l = np.asarray(f_l2l(ylong2)[0], np.float64)
     yl64 = np.asarray(ylong, np.float64)
     obj_long_l2 = float(0.5 * ((x_l2l - yl64) ** 2).sum()
                         + LAMLONG * np.linalg.norm(np.diff(x_l2l)))
     f_lpl = jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, LAMLONG, 1.5)[0])
-    t_long_lp = timed(f_lpl, ylong2)
+    t_long_lp = timed(f_lpl, ylong2, label="long_lp")
     x_lpl = np.asarray(f_lpl(ylong2)[0], np.float64)
     obj_long_lp = float(0.5 * ((x_lpl - yl64) ** 2).sum()
                         + LAMLONG * np.linalg.norm(np.diff(x_lpl), 1.5))
@@ -596,7 +613,7 @@ def measure_tpu(base):
         def fband7():
             return psharded.tv1_1d_banded(ylong7, LAM1, mesh1)[0]
 
-        t_long7 = timed(fband7)
+        t_long7 = timed(fband7, label="long1d_1e7")
         x7 = np.asarray(fband7(), np.float64)
         y7 = np.asarray(ylong7_np, np.float64)
         obj_long7 = float(0.5 * ((x7 - y7) ** 2).sum()
@@ -608,7 +625,7 @@ def measure_tpu(base):
     # run as ONE fused kernel batch (the TPU analog of one scan per core).
     Ylong = jnp.asarray((np.cumsum(rng.randn(SLONG, NLONG), axis=1) * 0.05
                          + rng.randn(SLONG, NLONG)).astype(np.float32))
-    t_long_stream = timed(flong, Ylong) / SLONG
+    t_long_stream = timed(flong, Ylong, label="long1d_stream") / SLONG
 
     # General-norm 2D (tvp_2d, p = 1.5 both dims at 512^2; reference DR2_TV
     # with p args).  Run at the reference'"'"'s own 35-sweep default; the
@@ -616,7 +633,7 @@ def measure_tpu(base):
     Y5 = jnp.asarray(rng.randn(1, M5, N5).astype(np.float32))
     f2dp = jax.jit(lambda Y: tv2d.tvp_2d_batched(
         Y, LAM2P, LAM2P, P2P, P2P, max_iters=35)[0])
-    t_2dp = timed(f2dp, Y5)
+    t_2dp = timed(f2dp, Y5, label="2dp")
     X5n = np.asarray(f2dp(Y5), np.float64)[0]
     obj_2dp = float(_obj_2dp(X5n, np.asarray(Y5, np.float64)[0], LAM2P, P2P))
 
@@ -647,6 +664,7 @@ def measure_tpu(base):
         "tpu_long_l2_obj": obj_long_l2,
         "tpu_long_lp_ms": t_long_lp * 1e3,
         "tpu_long_lp_obj": obj_long_lp,
+        "dispersion": dispersion,
     }
 
 
@@ -656,7 +674,7 @@ def _ratio(a, b):
     return round(a / b, 2)
 
 
-def run_parity(round_tag="r04"):
+def run_parity(round_tag="r05"):
     """Regenerate PARITY_run.json (VERDICT r2 item 7): differential checks
     vs the reference C library, run as a CPU subprocess so the random
     per-trial shapes don't trigger an axon AOT compile storm.
