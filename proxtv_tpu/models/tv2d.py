@@ -978,16 +978,25 @@ def _run_pdhg_fused_banded(Yl, lam, Wr=None, Wc=None, *, cap, cfg,
 
 def _run_kolmogorov(Y, w_row, w_col, cap, tol, inner_method: str):
     """PDHG with G(x) = 0.5||x-Y||^2 + w_col*colTV (proximable exactly via the
-    batched 1D solver + Moreau scaling) and the row term dualized."""
+    batched 1D solver + Moreau scaling) and the row term dualized.
+
+    ``w_row`` may be a scalar or a (B, M, N-1) per-edge field (it only enters
+    the dual clip); ``w_col`` a scalar or a (B, M-1, N) per-edge field
+    (reshaped to per-column-fiber weights for the exact 1D prox) — the
+    weighted variant the reference lacks (its weighted 2D ships DR only,
+    src/TV2DWopt.cpp:46)."""
     B, M, N = Y.shape
     sigma0, tau0 = 1.0, 0.9 / (4.0 * 1.0)  # ||D_row||^2 <= 4
     pcol, s0 = _make_col_prox(B, M, N, None, 1.0, inner_method, None, Y.dtype)
+    wc_fiber = (jnp.swapaxes(w_col, 1, 2).reshape(B * N, M - 1)
+                if jnp.ndim(w_col) == 3 else w_col)
 
     def prox_G(v, tau, s):
         # prox_{tau G}(v) = prox_{(tau w_col/(1+tau)) colTV}((v + tau Y)/(1+tau))
         t = (v + tau * Y) / (1.0 + tau)
         Vt = jnp.swapaxes(t, 1, 2).reshape(B * N, M)
-        out, s = _prox1d_ws(Vt, tau * w_col / (1.0 + tau), 1.0, inner_method, s)
+        out, s = _prox1d_ws(Vt, tau * wc_fiber / (1.0 + tau), 1.0,
+                            inner_method, s)
         return jnp.swapaxes(out.reshape(B, N, M), 1, 2), s
 
     def body(state):
@@ -1140,6 +1149,11 @@ def _tv1w_2d_batched(Y, W_col, W_row, max_iters, method, inner_method, cfg,
                                   W_row / rho, Y.dtype)
         return _run_yang(Y, pcol, s1, prow, s2,
                          max_iters or cfg.max_iters_yang, cfg.stop, rho)
+    if method == "kolmogorov":
+        return _run_kolmogorov(Y, jnp.asarray(W_row, Y.dtype),
+                               jnp.asarray(W_col, Y.dtype),
+                               max_iters or cfg.max_iters_kolmogorov,
+                               cfg.stop, inner_method)
     if method not in ("pd", "dr"):
         raise ValueError(f"Unknown weighted 2D method: {method!r}")
     cfgs = (_make_col_prox(B, M, N, None, 1.0, inner_method, W_col, Y.dtype),

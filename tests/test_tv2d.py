@@ -198,3 +198,17 @@ def test_converged_images_frozen_batch_invariant(rng):
                                    rtol=0, atol=1e-12, err_msg=str(k))
         assert int(infob.iters[k]) == int(infok.iters[0])
     assert int(infob.iters[0]) < int(infob.iters[1])
+
+
+def test_weighted_kolmogorov_matches_pd(rng):
+    """Weighted Kolmogorov (exact weighted column prox + per-edge dual clip
+    — a weighted variant the reference lacks): agrees with weighted
+    Proximal Dykstra at both engines' tolerances."""
+    B, M, N = 1, 24, 20
+    Y = jnp.asarray(rng.randn(B, M, N))
+    Wc = jnp.asarray(0.3 + 0.4 * rng.rand(B, M - 1, N))
+    Wr = jnp.asarray(0.3 + 0.4 * rng.rand(B, M, N - 1))
+    xk, ik = tv2d.tv1w_2d_batched(Y, Wc, Wr, method="kolmogorov",
+                                  max_iters=2000)
+    xp, _ = tv2d.tv1w_2d_batched(Y, Wc, Wr, method="pd", max_iters=2000)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xp), atol=5e-3)
