@@ -517,8 +517,9 @@ def measure_tpu(base):
                    Y1[:512], label="lp15")
     t_lp3 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 3.0)[0]),
                   Y1[:512], label="lp3")
-    # p = 5 exercises the nested-root-find projection (outside the
-    # joint-Newton gate) so the fallback path's throughput is also proven.
+    # p = 5 (q = 1.25) exercises the fused GPFW kernel's u-substitution
+    # (q < 2) projection branch; the XLA nested-root-find fallback runs for
+    # p outside ~[1.47, 9.3] and on CPU/f64 (covered by tests).
     t_lp5 = timed(jax.jit(lambda Y: tv1d_lp.tvp_gpfw(Y, 0.7, 5.0)[0]),
                   Y1[:512], label="lp5")
 
