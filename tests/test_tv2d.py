@@ -147,11 +147,9 @@ def test_unknown_method_errors(rng):
     Wr = jnp.asarray(np.abs(rng.randn(1, 6, 4)))
     import pytest
     with pytest.raises(ValueError):
-        tv2d.tv1w_2d_batched(Y, Wc, Wr, method="kolmogorov")
-    with pytest.raises(ValueError):
         tv2d.tv1w_2d_batched(Y, Wc, Wr, method="typo")
     with pytest.raises(ValueError):
-        tv2d.tv1_2d_batched(Y, jnp.asarray([0.5]), method="kolmogorov")
+        tv2d.tv1_2d_batched(Y, jnp.asarray([0.5]), method="typo")
 
 
 def test_weighted_yang_uniform_equals_unweighted(rng):
