@@ -42,6 +42,36 @@ from .common import (
 _TINY = 1e-30
 
 
+def _spow(x, e: float):
+    """``x ** e`` for x >= 0 with a STATIC exponent, strength-reduced to
+    multiply/sqrt chains when e is an integer or half-integer (the common
+    bench exponents: p = 1.5 -> q = 3, p = 3 -> q = 1.5 / rr = 2, p = 5 ->
+    qq = 5).  Mosaic lowers a generic ``pow`` through exp/log on the VPU —
+    measured ~7x the whole-kernel cost at p = 1.5 vs the reduced chain —
+    while integer/half-integer powers are a couple of multiplies."""
+    e = float(e)
+    if e == 0.0:
+        return jnp.ones_like(x)
+    if e == 1.0:
+        return x
+    if not (0.0 < e <= 8.0) or 2.0 * e != round(2.0 * e):
+        return x ** e
+    k = int(round(2.0 * e))  # e = k / 2
+    acc = None
+    base = x
+    m = k // 2
+    while m:  # square-and-multiply for the integer part
+        if m & 1:
+            acc = base if acc is None else acc * base
+        m >>= 1
+        if m:
+            base = base * base
+    if k % 2:
+        s = jnp.sqrt(x)
+        acc = s if acc is None else acc * s
+    return acc
+
+
 def _rowsum(x):
     # Row scalars stay broadcast at full (TB, n) width: narrow (TB, 1)
     # vregs inside while_loop bodies crash the Mosaic layout pass.
@@ -60,10 +90,10 @@ def _joint_newton_tile(an, Rn, T, q: float, mu, iters: int):
     if q >= 2.0:
         def body(_, state):
             s, mu = state
-            sq1 = s ** (q - 1.0)
+            sq1 = _spow(s, q - 1.0)
             F = s + mu * q * sq1 - an
             G = _rowsum(s * sq1) - T
-            d = 1.0 + mu * q * (q - 1.0) * s ** (q - 2.0)
+            d = 1.0 + mu * q * (q - 1.0) * _spow(s, q - 2.0)
             r = q * sq1
             rod = r / d
             A = _rowsum(rod * F)
@@ -75,34 +105,35 @@ def _joint_newton_tile(an, Rn, T, q: float, mu, iters: int):
             s_new = jnp.where(pos, s_new, 0.0)
             return s_new, mu_new
 
-        nrm = _rowsum(an ** q) ** (1.0 / q)
+        nrm = _spow(_rowsum(_spow(an, q)), 1.0 / q)
         fac0 = Rn / jnp.maximum(nrm, _TINY)
         s0 = an * fac0
         s, mu = jax.lax.fori_loop(0, iters, body, (s0, mu))
     else:
         rr = 1.0 / (q - 1.0)
+        u_hi = _spow(an, q - 1.0)  # loop-invariant clip ceiling
 
         def body_u(_, state):
             u, mu = state
-            F = u ** rr + mu * q * u - an
-            G = _rowsum(u ** (rr * q)) - T
-            d = rr * u ** (rr - 1.0) + mu * q
-            g = (rr * q) * u ** (rr * q - 1.0)
+            F = _spow(u, rr) + mu * q * u - an
+            G = _rowsum(_spow(u, rr * q)) - T
+            d = rr * _spow(u, rr - 1.0) + mu * q
+            g = (rr * q) * _spow(u, rr * q - 1.0)
             qu = q * u
             A = _rowsum(g * F / d)
             Bq = _rowsum(g * qu / d)
             dmu = (G - A) / jnp.maximum(Bq, _TINY)
             mu_new = jnp.maximum(mu + dmu, 0.0)
             du = -(F + qu * dmu) / d
-            u_new = jnp.clip(u + du, _TINY, an ** (q - 1.0))
+            u_new = jnp.clip(u + du, _TINY, u_hi)
             u_new = jnp.where(pos, u_new, 0.0)
             return u_new, mu_new
 
-        nrm = _rowsum(an ** q) ** (1.0 / q)
+        nrm = _spow(_rowsum(_spow(an, q)), 1.0 / q)
         fac0 = Rn / jnp.maximum(nrm, _TINY)
-        u0 = (an * fac0) ** (q - 1.0)
+        u0 = _spow(an * fac0, q - 1.0)
         u, mu = jax.lax.fori_loop(0, iters, body_u, (u0, mu))
-        s = u ** rr
+        s = _spow(u, rr)
     return s, mu
 
 
@@ -137,7 +168,7 @@ def _make_kernel(n, n_pad, p: float, q: float, max_trips, fw_cycles,
         def gap_of(w, g):
             ag = jnp.abs(g)
             mx = jnp.maximum(_rowmax(ag), _TINY)
-            tv = lam * mx * _rowsum((ag / mx) ** p) ** (1.0 / p)
+            tv = lam * mx * _spow(_rowsum(_spow(ag / mx, p)), 1.0 / p)
             cross = _rowsum(w * g)
             return jnp.abs(tv + cross), tv + jnp.abs(cross)
 
@@ -150,17 +181,17 @@ def _make_kernel(n, n_pad, p: float, q: float, max_trips, fw_cycles,
             """q-ball projection of z (radius lam), warm KKT multiplier."""
             a = jnp.abs(z) * v
             mx = jnp.maximum(_rowmax(a), _TINY)
-            nrm = mx * _rowsum((a / mx) ** q) ** (1.0 / q)
+            nrm = mx * _spow(_rowsum(_spow(a / mx, q)), 1.0 / q)
             inside = nrm <= lam
             scale = mx
             an = a / scale
             Rn = lam / scale
-            T = Rn ** q
+            T = _spow(Rn, q)
             s, mu_new = _joint_newton_tile(an, Rn, T, q, mu, newton_iters)
             # Radial clamp to exact feasibility: with the Newton near its
             # root this is second-order small; if a lane's Newton missed,
             # feasibility (and hence the gap certificate) still holds.
-            snrm = _rowsum(s ** q) ** (1.0 / q)
+            snrm = _spow(_rowsum(_spow(s, q)), 1.0 / q)
             fac = jnp.minimum(1.0, Rn / jnp.maximum(snrm, _TINY))
             x = jnp.sign(z) * s * fac * scale
             return (jnp.where(inside, z, x) * v,
@@ -177,8 +208,8 @@ def _make_kernel(n, n_pad, p: float, q: float, max_trips, fw_cycles,
             ag = jnp.abs(g)
             mx = jnp.maximum(_rowmax(ag), _TINY)
             r = ag / mx
-            s = -lam * jnp.sign(g) * r ** (qq - 1.0) / jnp.maximum(
-                _rowsum(r ** qq) ** ((qq - 1.0) / qq), _TINY)
+            s = -lam * jnp.sign(g) * _spow(r, qq - 1.0) / jnp.maximum(
+                _spow(_rowsum(_spow(r, qq)), (qq - 1.0) / qq), _TINY)
             d = (s - w) * v
             ad = d - _shift_right(d, 1, 0.0)
             Hd = (ad - _shift_left(ad, 1, 0.0)) * v
@@ -231,9 +262,11 @@ def _make_kernel(n, n_pad, p: float, q: float, max_trips, fw_cycles,
 
 
 @functools.partial(jax.jit, static_argnames=("p", "max_iters", "fw_cycles",
-                                             "stop_rel", "tb"))
+                                             "stop_rel", "tb",
+                                             "newton_iters"))
 def gpfw_fused(y, w0, lam, mu0, run_mask, p: float, max_iters: int,
-               fw_cycles: int = 10, stop_rel: float = 1e-5, tb: int = 0):
+               fw_cycles: int = 10, stop_rel: float = 1e-5, tb: int = 0,
+               newton_iters: int = 8):
     """Run the fused GPFW dual loop.
 
     Args:
@@ -280,7 +313,6 @@ def gpfw_fused(y, w0, lam, mu0, run_mask, p: float, max_iters: int,
 
     y_p, w_p = pad2(y), pad2(w0)
     lam_p, mu_p, run_p = padrow(lam), padrow(mu0), padrow(run_mask)
-    newton_iters = 8
     max_trips = -(-int(max_iters) // fw_cycles)
     kernel = _make_kernel(n, n_pad, p, q, max_trips, fw_cycles,
                           stop_rel, newton_iters)

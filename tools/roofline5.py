@@ -171,7 +171,10 @@ def ms(B=10000, n=1000, trips=8):
             "bytes_per_solve": traffic, "achieved_gbs": traffic / t / 1e9}
 
 
-def lp(B=512, n=1000, p=1.5, trips=4):
+def lp(B=512, n=1000, p=1.5, trips=64):
+    # trips must be large enough that trips * t_solve >> the ~28 ms tunnel
+    # RTT of the single dispatch, or the "in-program" number is really
+    # RTT / trips (that artifact produced a phantom 7 ms/solve in round 5).
     from proxtv_tpu.ops import tv1d_lp
 
     rng = np.random.RandomState(0)
