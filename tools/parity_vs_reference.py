@@ -47,6 +47,15 @@ def main(out_path=None):
     if not build():
         print("reference sources unavailable; nothing to compare")
         return 0
+    # Force CPU f64 the way tests/conftest.py does: a JAX_PLATFORMS=cpu env
+    # var alone does NOT stick when the axon TPU plugin is preset (the first
+    # JAX-path check would fire a remote AOT compile per random shape and
+    # die on any tunnel hiccup — seen live in round 5).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     import proxtv_tpu as ptv
 
     lib = ctypes.CDLL(LIB)
